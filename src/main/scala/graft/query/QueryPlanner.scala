@@ -1,0 +1,129 @@
+package graft.query
+
+import graft.core.Consts
+import graft.text.Analyzer
+
+/** Term-dictionary access needed at plan time. Implemented by the in-memory
+  * reference engine and by the Spark engine (over the termstats table).
+  */
+trait TermDict {
+  /** which of these codes exist in the dictionary */
+  def existing(codes: Seq[String]): Set[String]
+  /** dictionary keys whose first char is a letter and that match `regex`
+    * (unanchored), in ordinal key order, capped — cf. GetLikeWords
+    * (/root/reference/Docodo.NET/Search.cs:160-167). */
+  def likeWords(regex: String, limit: Int): Seq[String]
+}
+
+/** A fully resolved query: every leaf knows its posting codes and its
+  * proximity radius rule. Pure data — serializable into Spark closures.
+  */
+final case class LeafPlan(
+    id: Int,
+    word: String,
+    exact: Boolean,
+    field: Option[String],
+    fieldPresent: Boolean,
+    innerWordR: Int,
+    codes: Array[String]) {
+
+  /** Evaluate this leaf for one document. `coordsOf` returns the ascending
+    * within-doc coordinates of a code in that document (empty if none).
+    * R handling ports SearchSequence.d (Search.cs:302-312) and SearchField
+    * (Search.cs:126-155).
+    */
+  def seq(coordsOf: String => Array[Long], dist: Int): PosSeq = {
+    val len = word.length
+    var merged: PosSeq = null
+    var i = 0
+    while (i < codes.length) {
+      val s = PosSeq(coordsOf(codes(i)), 0)
+      merged = if (merged == null) s else PosSeq.or(merged, s)
+      i += 1
+    }
+    val wordSeq = if (merged == null) PosSeq.empty else merged
+    field match {
+      case Some(f) if fieldPresent =>
+        val fseq = PosSeq(coordsOf(Consts.FieldNameChar.toString + f), -1)
+        val res = PosSeq.and(fseq, wordSeq.withR(innerWordR))
+        res.withR(if (res.r < 0) -len - 4 else dist + len)
+      case Some(_) =>
+        // field term absent from the dictionary → SearchField's catch path
+        // returns an empty sequence with R=0; d() then assigns dist+len.
+        PosSeq.empty.withR(dist + len)
+      case None =>
+        // SearchWord sets R=-1 iff exact (Search.cs:258); d() converts.
+        wordSeq.withR(if (exact) -len - 4 else dist + len)
+    }
+  }
+}
+
+final case class QueryPlan(
+    body: Option[Ast],
+    fields: Option[Ast],
+    filters: Seq[String],
+    leaves: IndexedSeq[LeafPlan],
+    dist: Int) {
+
+  lazy val allCodes: Array[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    leaves.foreach { lp =>
+      lp.codes.foreach(out += _)
+      if (lp.fieldPresent) lp.field.foreach(f => out += Consts.FieldNameChar.toString + f)
+    }
+    out.toArray
+  }
+
+  def evalDoc(ast: Ast, coordsOf: String => Array[Long]): PosSeq = ast match {
+    case LeafRef(id) => leaves(id).seq(coordsOf, dist)
+    case AndNode(l, r) => PosSeq.and(evalDoc(l, coordsOf), evalDoc(r, coordsOf))
+    case OrNode(l, r) => PosSeq.or(evalDoc(l, coordsOf), evalDoc(r, coordsOf))
+  }
+}
+
+object QueryPlanner {
+
+  /** Port of SearchWord's code selection (Search.cs:192-260): wildcards
+    * expand over dictionary keys (exact mode); otherwise prefer "known"
+    * codes (`#group` / `$stem`) and fall back to the first self code; keep
+    * only codes present in the dictionary.
+    */
+  def resolveWordCodes(
+      word0: String,
+      exact0: Boolean,
+      an: Analyzer,
+      dict: TermDict): (Seq[String], Boolean) = {
+    var exact = exact0
+    val word = word0.toLowerCase(java.util.Locale.ROOT)
+    var words: Seq[String] = Seq(word)
+    if (word.indexOf('_') >= 0) {
+      exact = true
+      words = dict.likeWords(word.replace("_", ".*"), Consts.MaxLikeWords)
+    }
+    val chosen = scala.collection.mutable.LinkedHashSet.empty[String]
+    words.foreach { w =>
+      val codes = an.wordCodes(w)
+      val (selfCodes, knowCodes) = codes.partition(c => c.nonEmpty && Analyzer.isWordChar(c.charAt(0)))
+      val picked =
+        if (!exact) { if (knowCodes.nonEmpty) knowCodes else selfCodes.take(1) }
+        else selfCodes.take(1)
+      picked.foreach(chosen += _)
+    }
+    val present = dict.existing(chosen.toSeq)
+    (chosen.toSeq.filter(present), exact)
+  }
+
+  def plan(parsed: ParsedQuery, an: Analyzer, dict: TermDict, dist: Int): QueryPlan = {
+    val fieldCodes = parsed.leaves.flatMap(_.field).distinct
+      .map(f => Consts.FieldNameChar.toString + f)
+    val fieldPresent = dict.existing(fieldCodes)
+    val leafPlans = parsed.leaves.map { spec =>
+      val (codes, exact) = resolveWordCodes(spec.word, spec.exact, an, dict)
+      val innerWordR = if (exact) -1 else 0
+      LeafPlan(spec.id, spec.word, exact, spec.field,
+        spec.field.exists(f => fieldPresent.contains(Consts.FieldNameChar.toString + f)),
+        innerWordR, codes.toArray)
+    }
+    QueryPlan(parsed.body, parsed.fields, parsed.filters, leafPlans, dist)
+  }
+}

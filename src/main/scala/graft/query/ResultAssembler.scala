@@ -1,0 +1,119 @@
+package graft.query
+
+import graft.core.Consts
+import scala.collection.mutable.ArrayBuffer
+
+/** Turns per-document evaluation output into the final SearchOut, porting
+  * PrepareSearchResult + the enrichment/ordering tail of Search
+  * (/root/reference/Docodo.NET/Search.cs:365-420,525-603):
+  *
+  *  - documents stream in ascending docId order (the reference's global
+  *    coordinate order);
+  *  - the doc-name regex filters and the MAX_FOUND_DOCS=500 cap apply in
+  *    that order; pages count toward MAX_FOUND_PAGES=30000 globally, and
+  *    the scan stops mid-page exactly like the reference;
+  *  - when a fields expression exists, final docs = body docs ∩ field docs;
+  *  - doc rank = 1+ln(Σ page ranks) ×10 for header-page-first hits; docs
+  *    are returned rank-ASCENDING (a reference quirk we preserve);
+  *  - snippets/headers/foundWords/summary come from the page texts.
+  */
+object ResultAssembler {
+
+  /** One evaluated document (body expression result). */
+  final case class DocEval(
+      docId: Long,
+      name: String,
+      coords: Array[Long],
+      pageIds: Array[String],
+      pageEnds: Array[Long],
+      dl: Long,
+      codeTfs: Seq[(String, Long)]) // body-scoring codes → tf in this doc
+
+  final case class Texts(header: String, bodyPages: Seq[(String, String)])
+
+  def assemble(
+      docsAsc: Iterator[DocEval],
+      filters: Seq[String],
+      fieldDocIds: Option[Set[Long]],
+      textsOf: Long => Option[Texts],
+      bm25DfOf: String => Long,
+      nDocs: Long,
+      avgdl: Double,
+      wordInfos: Seq[WordInfo]): SearchOut = {
+
+    val filterPats = filters.map(f => java.util.regex.Pattern.compile(f))
+    var nFoundPages = 0
+    var nFoundDocs = 0
+    var stop = false
+
+    final case class Partial(d: DocEval, pages: ArrayBuffer[(String, ArrayBuffer[Int])])
+    val kept = ArrayBuffer.empty[Partial]
+
+    while (!stop && docsAsc.hasNext) {
+      val d = docsAsc.next()
+      if (d.coords.nonEmpty) {
+        var pages = Ranker.pagesOf(d.coords, d.pageIds, d.pageEnds)
+        // global page cap with the reference's mid-page cut (Search.cs:409)
+        if (nFoundPages + pages.length > Consts.MaxFoundPages) {
+          val room = Consts.MaxFoundPages - nFoundPages + 1 // page that overflows is kept with 1 pos
+          pages = pages.take(room)
+          if (pages.nonEmpty) {
+            val last = pages.last
+            pages(pages.length - 1) = (last._1, last._2.take(1))
+          }
+          stop = true
+        }
+        nFoundPages += pages.length
+        // the 500-doc cap applies BEFORE the field-docs intersection, which
+        // happens afterwards in CombineSearchResults (Search.cs:543-546)
+        if (nFoundDocs < Consts.MaxFoundDocs) {
+          val matched = filterPats.isEmpty || filterPats.exists(_.matcher(d.name).find())
+          if (matched) {
+            nFoundDocs += 1
+            kept += Partial(d, pages)
+          }
+        }
+      }
+    }
+
+    val keptFinal = fieldDocIds match {
+      case Some(ids) => kept.filter(p => ids.contains(p.d.docId))
+      case None => kept
+    }
+
+    val docHits = keptFinal.map { case Partial(d, pages) =>
+      val rank = Ranker.docRank(pages.map { case (id, pos) => (id, pos.toSeq) }.toSeq)
+      val bm25 = Ranker.bm25Score(d.codeTfs, bm25DfOf, nDocs, d.dl, avgdl)
+      val texts = textsOf(d.docId)
+      var headers = Map.empty[String, String]
+      var foundWords = Seq.empty[String]
+      var pageHits = pages.map { case (id, pos) =>
+        PageHit(id, pos.toArray, Ranker.pageRank(pos), "")
+      }
+      var summary = ""
+      texts.foreach { t =>
+        var headerStr = t.header
+        if (pages.nonEmpty && pages.head._1 == "0") {
+          headerStr = Snippets.highlightAll(t.header, pages.head._2.toArray)
+        }
+        headers = Snippets.makeHeaders(headerStr)
+        val bodyTexts = t.bodyPages.toMap
+        pageHits = pageHits.filter(_.pageId != "0").map { ph =>
+          bodyTexts.get(ph.pageId) match {
+            case Some(txt) =>
+              foundWords = (foundWords ++ Snippets.foundWords(txt, ph.pos)).distinct
+              ph.copy(text = Snippets.pageText(txt, ph.pos))
+            case None => ph
+          }
+        }
+        if (pageHits.nonEmpty) {
+          summary = pageHits.sortBy(_.rank).take(3).sortBy(_.pageId)
+            .map(_.text).mkString(" ... ")
+        }
+      }
+      DocHit(d.docId, d.name, rank, bm25, pageHits.toSeq, headers, foundWords, summary)
+    }
+
+    SearchOut(docHits.sortBy(_.rank).toSeq, nFoundPages, wordInfos)
+  }
+}
