@@ -110,6 +110,8 @@ object Varint {
     private var p = 0
     private var last = base
     def hasNext: Boolean = p < bytes.length
+    /** reset the cumulative base (per-doc position chains restart at 0). */
+    def rebase(b: Long): Unit = { last = b }
     def next(): Long = {
       var shift = 0
       var more = true

@@ -83,12 +83,12 @@ final case class QueryPlan(
 
 object QueryPlanner {
 
-  /** Port of SearchWord's code selection (Search.cs:192-260): wildcards
-    * expand over dictionary keys (exact mode); otherwise prefer "known"
-    * codes (`#group` / `$stem`) and fall back to the first self code; keep
-    * only codes present in the dictionary.
+  /** Port of SearchWord's code selection (Search.cs:192-260) WITHOUT the
+    * dictionary-existence filter: wildcards expand over dictionary keys
+    * (exact mode); otherwise prefer "known" codes (`#group` / `$stem`) and
+    * fall back to the first self code.
     */
-  def resolveWordCodes(
+  def chooseCodes(
       word0: String,
       exact0: Boolean,
       an: Analyzer,
@@ -109,20 +109,33 @@ object QueryPlanner {
         else selfCodes.take(1)
       picked.foreach(chosen += _)
     }
-    val present = dict.existing(chosen.toSeq)
-    (chosen.toSeq.filter(present), exact)
+    (chosen.toSeq, exact)
   }
 
+  /** chooseCodes + dictionary-existence filter (one dict round-trip). */
+  def resolveWordCodes(
+      word0: String,
+      exact0: Boolean,
+      an: Analyzer,
+      dict: TermDict): (Seq[String], Boolean) = {
+    val (chosen, exact) = chooseCodes(word0, exact0, an, dict)
+    val present = dict.existing(chosen)
+    (chosen.filter(present), exact)
+  }
+
+  /** Resolve all leaves with a single existence round-trip to the
+    * dictionary (one small Spark job instead of one per leaf). */
   def plan(parsed: ParsedQuery, an: Analyzer, dict: TermDict, dist: Int): QueryPlan = {
     val fieldCodes = parsed.leaves.flatMap(_.field).distinct
       .map(f => Consts.FieldNameChar.toString + f)
-    val fieldPresent = dict.existing(fieldCodes)
-    val leafPlans = parsed.leaves.map { spec =>
-      val (codes, exact) = resolveWordCodes(spec.word, spec.exact, an, dict)
+    val prelim = parsed.leaves.map(spec => spec -> chooseCodes(spec.word, spec.exact, an, dict))
+    val allCandidates = (prelim.flatMap(_._2._1) ++ fieldCodes).distinct
+    val present = dict.existing(allCandidates)
+    val leafPlans = prelim.map { case (spec, (chosen, exact)) =>
       val innerWordR = if (exact) -1 else 0
       LeafPlan(spec.id, spec.word, exact, spec.field,
-        spec.field.exists(f => fieldPresent.contains(Consts.FieldNameChar.toString + f)),
-        innerWordR, codes.toArray)
+        spec.field.exists(f => present.contains(Consts.FieldNameChar.toString + f)),
+        innerWordR, chosen.filter(present).toArray)
     }
     QueryPlan(parsed.body, parsed.fields, parsed.filters, leafPlans, dist)
   }

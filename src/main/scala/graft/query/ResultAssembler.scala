@@ -31,22 +31,21 @@ object ResultAssembler {
 
   final case class Texts(header: String, bodyPages: Seq[(String, String)])
 
-  def assemble(
+  final case class Partial(d: DocEval, pages: ArrayBuffer[(String, ArrayBuffer[Int])])
+
+  /** Phase 1: stream docs in docId order, apply filters + caps. Returns the
+    * kept partials and the (capped) global page count. Stops consuming the
+    * iterator at the page cap, so a driver-side toLocalIterator only pulls
+    * the partitions it needs. */
+  def selectDocs(
       docsAsc: Iterator[DocEval],
       filters: Seq[String],
-      fieldDocIds: Option[Set[Long]],
-      textsOf: Long => Option[Texts],
-      bm25DfOf: String => Long,
-      nDocs: Long,
-      avgdl: Double,
-      wordInfos: Seq[WordInfo]): SearchOut = {
+      fieldDocIds: Option[Set[Long]]): (ArrayBuffer[Partial], Int) = {
 
     val filterPats = filters.map(f => java.util.regex.Pattern.compile(f))
     var nFoundPages = 0
     var nFoundDocs = 0
     var stop = false
-
-    final case class Partial(d: DocEval, pages: ArrayBuffer[(String, ArrayBuffer[Int])])
     val kept = ArrayBuffer.empty[Partial]
 
     while (!stop && docsAsc.hasNext) {
@@ -80,8 +79,20 @@ object ResultAssembler {
       case Some(ids) => kept.filter(p => ids.contains(p.d.docId))
       case None => kept
     }
+    (keptFinal, nFoundPages)
+  }
 
-    val docHits = keptFinal.map { case Partial(d, pages) =>
+  /** Phase 2: ranks, BM25, snippets, ordering. */
+  def enrich(
+      kept: ArrayBuffer[Partial],
+      nFoundPages: Int,
+      textsOf: Long => Option[Texts],
+      bm25DfOf: String => Long,
+      nDocs: Long,
+      avgdl: Double,
+      wordInfos: Seq[WordInfo]): SearchOut = {
+
+    val docHits = kept.map { case Partial(d, pages) =>
       val rank = Ranker.docRank(pages.map { case (id, pos) => (id, pos.toSeq) }.toSeq)
       val bm25 = Ranker.bm25Score(d.codeTfs, bm25DfOf, nDocs, d.dl, avgdl)
       val texts = textsOf(d.docId)
@@ -115,5 +126,19 @@ object ResultAssembler {
     }
 
     SearchOut(docHits.sortBy(_.rank).toSeq, nFoundPages, wordInfos)
+  }
+
+  /** Single-pass convenience used by the in-memory engine. */
+  def assemble(
+      docsAsc: Iterator[DocEval],
+      filters: Seq[String],
+      fieldDocIds: Option[Set[Long]],
+      textsOf: Long => Option[Texts],
+      bm25DfOf: String => Long,
+      nDocs: Long,
+      avgdl: Double,
+      wordInfos: Seq[WordInfo]): SearchOut = {
+    val (kept, nPages) = selectDocs(docsAsc, filters, fieldDocIds)
+    enrich(kept, nPages, textsOf, bm25DfOf, nDocs, avgdl, wordInfos)
   }
 }

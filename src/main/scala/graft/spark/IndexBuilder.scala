@@ -1,0 +1,239 @@
+package graft.spark
+
+import graft.core.{Consts, DocTokenizer, Varint}
+import graft.text.{Analyzer, HtmlExtract}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Distributed inverted-index build.
+  *
+  * Pipeline (each stage commits a snapshot marker; re-runs skip committed
+  * stages — north rule resumability):
+  *
+  *   1. `doctext`: pages → byte-identical text extraction + header synthesis
+  *      + deterministic docId assignment (range-sort by url, zipWithIndex) →
+  *      forward-index Parquet. One pass over the corpus.
+  *   2. `docmeta`: per-doc page boundaries + BM25 doc length (cheap token
+  *      count) → Parquet; global N and avgdl aggregate.
+  *   3. `postings`: per-doc tokenize → map-side combined (term,doc) rows →
+  *      `repartition(term, bucket)` (bucket = docId >> 16 — the salted
+  *      repartition that defuses hot-term skew, since one term's postings
+  *      shard across buckets with disjoint ascending docId ranges) →
+  *      `sortWithinPartitions` → streaming run-length block encoder →
+  *      Parquet sorted by term within files (row-group pruning on term).
+  *   4. `termstats`: tiny agg over block metadata → Parquet.
+  *
+  * Design notes for 10^12 docs: no driver-side collection of corpus data;
+  * the only global scalars are N/avgdl; text is written once and re-read
+  * (no giant persist); every shuffle key includes the bucket so no single
+  * task ever sees a whole hot term (SURVEY §2.3 B5, §7.4.2).
+  */
+object IndexBuilder {
+
+  final case class BuildConfig(
+      bucketBits: Int = Consts.DocBucketBits,
+      stopWords: Set[String] = Set.empty,
+      sourceName: String = "web")
+
+  final case class BuildStats(
+      nDocs: Long,
+      avgdl: Double,
+      totalPostings: Long,
+      resumedStages: Seq[String])
+
+  def analyzerFor(cfg: BuildConfig): Analyzer = Analyzer(stopWords = cfg.stopWords)
+
+  /** Signature of the input snapshot: file list + counts. Pins resume. */
+  private def inputSignature(pages: DataFrame): String = {
+    val files = pages.inputFiles.sorted
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+    files.foreach(f => h.update(f.getBytes("UTF-8")))
+    files.length + ":" + h.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  def build(spark: SparkSession, pages: DataFrame, indexDir: String,
+            cfg: BuildConfig = BuildConfig()): BuildStats = {
+    import spark.implicits._
+    val sig = inputSignature(pages)
+    val resumed = ArrayBuffer.empty[String]
+    val an = analyzerFor(cfg)
+
+    val docTextPath = s"$indexDir/doctext"
+    val docMetaPath = s"$indexDir/docmeta"
+    val postingsPath = s"$indexDir/postings"
+    val termStatsPath = s"$indexDir/termstats"
+
+    // ---- stage 1: doctext (extract + docId assignment) ----
+    if (IndexStore.stageDone(indexDir, "doctext", sig)) resumed += "doctext"
+    else {
+      val src = cfg.sourceName
+      val in = pages.select($"url", $"html", $"text").as[(String, Array[Byte], String)]
+      // deterministic docIds: global url order via range partition + local
+      // sort, then zipWithIndex (2 Spark jobs; no single-partition sort).
+      val sorted = in.repartitionByRange($"url".asc).sortWithinPartitions($"url".asc)
+      val docText = sorted.rdd.zipWithIndex().mapPartitions { it =>
+        it.flatMap { case ((url, html, text), docId) =>
+          val ex =
+            if (text != null && text.nonEmpty)
+              HtmlExtract.Extracted(text, "", "")
+            else if (html != null) HtmlExtract.extract(html)
+            else HtmlExtract.Extracted("", "", "")
+          // FromHtml returns null for empty text → doc skipped
+          // (WebDataSource.cs:244,268)
+          if (ex.text.isEmpty) None
+          else Some(DocTextRow(docId, src + Consts.DocSep + url, ex.headers(url, src), ex.text))
+        }
+      }.toDS()
+      docText.write.mode("overwrite").parquet(docTextPath)
+      val rows = spark.read.parquet(docTextPath).count()
+      IndexStore.commitStage(indexDir, IndexStore.StageRecord(
+        "doctext", sig, rows, dirBytes(docTextPath), Map("path" -> docTextPath)))
+    }
+
+    val docText = spark.read.parquet(docTextPath).as[DocTextRow]
+
+    // ---- stage 2: docmeta + global scalars ----
+    if (IndexStore.stageDone(indexDir, "docmeta", sig)) resumed += "docmeta"
+    else {
+      val bc = spark.sparkContext.broadcast(an)
+      val docMeta = docText.mapPartitions { it =>
+        val a = bc.value
+        it.map { d =>
+          val di = DocTokenizer.index(a, d.header, Seq(("1", d.body)))
+          DocMetaRow(d.docId, d.name, di.pageIds.toSeq, di.pageEnds.toSeq, di.docLen)
+        }
+      }
+      docMeta.write.mode("overwrite").parquet(docMetaPath)
+      val agg = spark.read.parquet(docMetaPath)
+        .agg(count(lit(1)), avg($"docLen")).head()
+      IndexStore.commitStage(indexDir, IndexStore.StageRecord(
+        "docmeta", sig, agg.getLong(0), dirBytes(docMetaPath),
+        Map("nDocs" -> agg.getLong(0).toString, "avgdl" -> agg.getDouble(1).toString)))
+    }
+    val nDocs = IndexStore.readStageDetail(indexDir, "docmeta", "nDocs").get.toLong
+    val avgdl = IndexStore.readStageDetail(indexDir, "docmeta", "avgdl").get.toDouble
+
+    // ---- stage 3: postings blocks ----
+    if (IndexStore.stageDone(indexDir, "postings", sig)) resumed += "postings"
+    else {
+      val bc = spark.sparkContext.broadcast(an)
+      val bits = cfg.bucketBits
+      val termDocs: Dataset[TermDocRow] = docText.mapPartitions { it =>
+        val a = bc.value
+        it.flatMap { d =>
+          val di = DocTokenizer.index(a, d.header, Seq(("1", d.body)))
+          // map-side combine: group this doc's postings per term
+          val byTerm = scala.collection.mutable.HashMap.empty[String, ArrayBuffer[Long]]
+          di.postings.foreach { tp =>
+            byTerm.getOrElseUpdate(tp.term, new ArrayBuffer[Long]) += tp.coord
+          }
+          val bucket = (d.docId >> bits).toInt
+          byTerm.iterator.map { case (term, coords) =>
+            val arr = coords.toArray // already ascending per doc
+            TermDocRow(term, bucket, d.docId, arr.length, di.docLen, Varint.encode(arr))
+          }
+        }
+      }
+
+      val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val blocks = termDocs
+        .repartition(shufflePartitions, $"term", $"bucket")
+        .sortWithinPartitions($"term", $"bucket", $"docId")
+        .mapPartitions(encodeBlocks(_, avgdl))
+
+      blocks.write.mode("overwrite").parquet(postingsPath)
+      val m = spark.read.parquet(postingsPath)
+        .agg(sum($"nPostings"), count(lit(1))).head()
+      IndexStore.commitStage(indexDir, IndexStore.StageRecord(
+        "postings", sig, m.getLong(1), dirBytes(postingsPath),
+        Map("totalPostings" -> m.getLong(0).toString)))
+    }
+    val totalPostings = IndexStore.readStageDetail(indexDir, "postings", "totalPostings").get.toLong
+
+    // ---- stage 4: term dictionary from block metadata (tiny agg) ----
+    if (IndexStore.stageDone(indexDir, "termstats", sig)) resumed += "termstats"
+    else {
+      spark.read.parquet(postingsPath)
+        .groupBy($"term")
+        .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
+        .repartition(1).sortWithinPartitions($"term")
+        .write.mode("overwrite").parquet(termStatsPath)
+      IndexStore.commitStage(indexDir, IndexStore.StageRecord(
+        "termstats", sig, spark.read.parquet(termStatsPath).count(), dirBytes(termStatsPath), Map.empty))
+    }
+
+    // ---- snapshot commit ----
+    val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
+    IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
+      version, nDocs, avgdl, totalPostings,
+      Seq("doctext", "docmeta", "postings", "termstats").map { s =>
+        IndexStore.StageRecord(s, sig,
+          IndexStore.readStageDetail(indexDir, s, "rows").map(_.toLong).getOrElse(0L), 0L, Map.empty)
+      }))
+
+    BuildStats(nDocs, avgdl, totalPostings, resumed.toSeq)
+  }
+
+  /** Streaming (term,bucket)-run block encoder over sorted TermDocRows. */
+  private def encodeBlocks(it: Iterator[TermDocRow], avgdl: Double): Iterator[PostingBlockRow] =
+    new Iterator[PostingBlockRow] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): PostingBlockRow = {
+        val head = buf.next()
+        val term = head.term
+        val bucket = head.bucket
+        val docIds = ArrayBuffer(head.docId)
+        val tfs = ArrayBuffer(head.tf.toLong)
+        val dls = ArrayBuffer(head.dl)
+        val pos = new ArrayBuffer[Byte](head.coords.length * 2)
+        pos ++= head.coords
+        var nPostings = head.tf.toLong
+        var maxTfNorm = graft.query.Ranker.bm25TfNorm(head.tf.toLong, head.dl, avgdl)
+        while (buf.hasNext && buf.head.term == term && buf.head.bucket == bucket) {
+          val r = buf.next()
+          docIds += r.docId
+          tfs += r.tf.toLong
+          dls += r.dl
+          pos ++= r.coords
+          nPostings += r.tf
+          val tn = graft.query.Ranker.bm25TfNorm(r.tf.toLong, r.dl, avgdl)
+          if (tn > maxTfNorm) maxTfNorm = tn
+        }
+        PostingBlockRow(term, bucket, docIds.head, docIds.length, nPostings,
+          Varint.encode(docIds.toArray), Varint.encodeRaw(tfs.toArray),
+          Varint.encodeRaw(dls.toArray), pos.toArray, maxTfNorm)
+      }
+    }
+
+  private def dirBytes(path: String): Long = {
+    val d = new java.io.File(path)
+    if (!d.exists()) 0L
+    else {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(d)
+    }
+  }
+
+  /** Decode one block into (docId, tf, dl, coords) tuples. */
+  def decodeBlock(b: PostingBlockRow): Iterator[(Long, Long, Long, Array[Long])] = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val tfR = new Varint.Reader(b.tfs)
+    val dlR = new Varint.Reader(b.dls)
+    val posR = new Varint.Reader(b.posDeltas)
+    (0 until b.nDocs).iterator.map { _ =>
+      val d = docR.next()
+      val tf = tfR.nextRaw()
+      val dl = dlR.nextRaw()
+      // per-doc coords: the delta chain restarts at 0 for each doc
+      posR.rebase(0L)
+      val coords = new Array[Long](tf.toInt)
+      var i = 0
+      while (i < tf) { coords(i) = posR.next(); i += 1 }
+      (d, tf, dl, coords)
+    }
+  }
+}

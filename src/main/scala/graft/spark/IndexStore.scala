@@ -1,0 +1,146 @@
+package graft.spark
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-shaped commit layer over Parquet (SURVEY §4.4): versioned JSON
+  * snapshot manifests listing table locations + per-partition lineage and
+  * posting-count/bytes metrics, committed by atomic rename. Readers pin a
+  * snapshot; a re-run diffs the input signature per stage and skips stages
+  * that already committed (resumable builds per the north rule). The trait
+  * boundary is swappable for a real Iceberg catalog outside the sandbox.
+  */
+object IndexStore {
+
+  final case class StageRecord(
+      stage: String,
+      inputSignature: String,
+      rows: Long,
+      bytes: Long,
+      detail: Map[String, String])
+
+  final case class Snapshot(
+      version: Int,
+      nDocs: Long,
+      avgdl: Double,
+      totalPostings: Long,
+      stages: Seq[StageRecord])
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def stageJson(r: StageRecord): String = {
+    val detail = r.detail.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    s"""{"stage": ${q(r.stage)}, "inputSignature": ${q(r.inputSignature)}, "rows": ${r.rows}, "bytes": ${r.bytes}, "detail": $detail}"""
+  }
+
+  def writeSnapshot(indexDir: String, snap: Snapshot): Unit = {
+    val dir = Paths.get(indexDir)
+    Files.createDirectories(dir)
+    val json =
+      s"""{
+  "version": ${snap.version},
+  "nDocs": ${snap.nDocs},
+  "avgdl": ${snap.avgdl},
+  "totalPostings": ${snap.totalPostings},
+  "stages": [${snap.stages.map(stageJson).mkString(",\n    ")}]
+}"""
+    val tmp = dir.resolve(s"manifest-v${snap.version}.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"manifest-v${snap.version}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val cur = dir.resolve("CURRENT.tmp")
+    Files.write(cur, snap.version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(cur, dir.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentVersion(indexDir: String): Option[Int] = {
+    val p = Paths.get(indexDir, "CURRENT")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  private def field(json: String, name: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(name) + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|[-0-9.eE+]+)")
+      .matcher(json)
+    if (m.find()) {
+      val v = m.group(1)
+      Some(if (v.startsWith("\"")) unescape(v.substring(1, v.length - 1)) else v)
+    } else None
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def readSnapshot(indexDir: String): Option[Snapshot] = currentVersion(indexDir).map { v =>
+    val json = new String(Files.readAllBytes(Paths.get(indexDir, s"manifest-v$v.json")), StandardCharsets.UTF_8)
+    // stage records are informational in the snapshot; resume reads the
+    // per-stage markers, so we don't round-trip them here.
+    val stages = Nil
+    Snapshot(v,
+      field(json, "nDocs").map(_.toLong).getOrElse(0L),
+      field(json, "avgdl").map(_.toDouble).getOrElse(1.0),
+      field(json, "totalPostings").map(_.toLong).getOrElse(0L),
+      stages)
+  }
+
+  // ---- per-stage completion markers for resumable builds ----
+
+  def stageMarkerPath(indexDir: String, stage: String): Path =
+    Paths.get(indexDir, s"_stage_$stage.json")
+
+  def stageDone(indexDir: String, stage: String, inputSignature: String): Boolean = {
+    val p = stageMarkerPath(indexDir, stage)
+    Files.exists(p) && {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      field(json, "inputSignature").contains(inputSignature)
+    }
+  }
+
+  def readStageDetail(indexDir: String, stage: String, key: String): Option[String] = {
+    val p = stageMarkerPath(indexDir, stage)
+    if (!Files.exists(p)) None
+    else field(new String(Files.readAllBytes(p), StandardCharsets.UTF_8), key)
+  }
+
+  def commitStage(indexDir: String, rec: StageRecord): Unit = {
+    Files.createDirectories(Paths.get(indexDir))
+    val tmp = Paths.get(indexDir, s"_stage_${rec.stage}.json.tmp")
+    Files.write(tmp, stageJson(rec).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, stageMarkerPath(indexDir, rec.stage),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def listManifests(indexDir: String): Seq[String] = {
+    val d = Paths.get(indexDir)
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("manifest-")).toSeq.sorted
+  }
+}

@@ -1,0 +1,68 @@
+package graft.spark
+
+/** Row types of the index tables (all Parquet, Iceberg-shaped commit via
+  * IndexStore).
+  */
+
+/** Input contract per BASELINE.json input_hint. */
+final case class PageRowIn(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Forward index (replaces the reference's zip text cache,
+  * /root/reference/Docodo.NET/DataSources.cs:492-712): per-doc header block
+  * and body text, keyed by docId for snippet retrieval. */
+final case class DocTextRow(docId: Long, name: String, header: String, body: String)
+
+/** Replaces the reference's IndexPageList (.index.list,
+  * /root/reference/Docodo.NET/Build.cs:41-149): page ids + END coordinates
+  * per doc, plus the BM25 document length. */
+final case class DocMetaRow(
+    docId: Long,
+    name: String,
+    pageIds: Seq[String],
+    pageEnds: Seq[Long],
+    docLen: Long)
+
+/** Map-side combined posting: one row per (term, doc) — the shuffle unit.
+  * coords are the within-doc coordinates, delta+varint encoded. */
+final case class TermDocRow(
+    term: String,
+    bucket: Int,
+    docId: Long,
+    tf: Int,
+    dl: Long,
+    coords: Array[Byte])
+
+/** Posting block: one row per (term, docId-range bucket). Ascending docIds
+  * delta+varint encoded; per-doc tf, dl raw-varint; concatenated per-doc
+  * position deltas; per-block max normalized-tf for block-max WAND.
+  * The delta+varint block layout realizes the reference's IndexSequence
+  * storage idea (/root/reference/Docodo.NET/IndexSequence.cs:63-84) keyed
+  * per document instead of a global coordinate space. */
+final case class PostingBlockRow(
+    term: String,
+    bucket: Int,
+    firstDocId: Long,
+    nDocs: Int,
+    nPostings: Long,
+    docDeltas: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte],
+    posDeltas: Array[Byte],
+    maxTfNorm: Double)
+
+/** Term dictionary entry (df = doc freq, cf = collection freq). */
+final case class TermStatRow(term: String, df: Long, cf: Long)
+
+/** Per-doc query evaluation output (internal to SparkSearcher). */
+final case class EvalRow(
+    docId: Long,
+    coords: Array[Long],
+    fieldHit: Boolean,
+    leafCounts: Array[Long],
+    codes: Array[String],
+    tfs: Array[Long])

@@ -1,0 +1,284 @@
+package graft.spark
+
+import graft.core.Consts
+import graft.query._
+import graft.text.Analyzer
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Distributed query engine over a committed index snapshot.
+  *
+  * Plan shape per query (SURVEY §3.1 "Spark trace"):
+  *   term resolution  = one small lookup against the termstats table;
+  *   posting fetch    = `postings.filter(term isin codes)` — Parquet
+  *                      row-group pruning (files are term-sorted);
+  *   evaluation       = explode blocks to (docId, code, coords), shuffle by
+  *                      docId, run the exact positional kernel per doc;
+  *   result           = docId-ordered streaming into the shared assembler
+  *                      (caps stop the driver pull early);
+  *   BM25 top-k       = bucket-parallel scoring with block-max skipping
+  *                      (two-phase exact WAND for single queries; one-pass
+  *                      batch mode for throughput).
+  */
+final class SparkSearcher(
+    spark: SparkSession,
+    indexDir: String,
+    val analyzer: Analyzer) extends TermDict with Serializable {
+
+  import spark.implicits._
+
+  @transient private val snap = IndexStore.readSnapshot(indexDir)
+    .getOrElse(throw new IllegalStateException(s"no committed snapshot at $indexDir"))
+  val nDocs: Long = snap.nDocs
+  val avgdl: Double = snap.avgdl
+
+  @transient lazy val termStats: Dataset[TermStatRow] = {
+    val ds = spark.read.parquet(s"$indexDir/termstats").as[TermStatRow]
+    ds.cache()
+    ds
+  }
+  @transient lazy val docMeta = spark.read.parquet(s"$indexDir/docmeta").as[DocMetaRow]
+  @transient private lazy val postings = spark.read.parquet(s"$indexDir/postings").as[PostingBlockRow]
+  @transient private lazy val docText = spark.read.parquet(s"$indexDir/doctext").as[DocTextRow]
+
+  // ---- TermDict over the termstats table ----
+  override def existing(codes: Seq[String]): Set[String] =
+    if (codes.isEmpty) Set.empty
+    else termStats.filter($"term".isin(codes: _*)).select($"term").as[String].collect().toSet
+
+  override def likeWords(regex: String, limit: Int): Seq[String] =
+    termStats
+      .filter($"term".rlike(regex))
+      .filter(row => row.term.nonEmpty && Character.isLetter(row.term.charAt(0)))
+      .orderBy($"term") // UTF8_BINARY default collation = ordinal order
+      .limit(limit).select($"term").as[String].collect().toSeq
+
+  def dfOf(codes: Seq[String]): Map[String, Long] =
+    if (codes.isEmpty) Map.empty
+    else termStats.filter($"term".isin(codes: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+
+  def suggest(req: String, n: Int = 10): Seq[String] = {
+    if (req.length < 2) return Nil
+    val pieces = Analyzer.splitWordBoundaries(req).filter(_.nonEmpty)
+    if (pieces.isEmpty) return Nil
+    val lastword = pieces.last.toLowerCase(java.util.Locale.ROOT)
+    if (lastword.length < 2) return Nil
+    termStats
+      .filter($"term".startsWith(lastword) && length($"term") > lastword.length)
+      .orderBy($"cf".desc, $"term")
+      .limit(n).select($"term").as[String].collect().toSeq
+      .filter(k => k.charAt(0) >= 'A')
+      .map(_.substring(lastword.length))
+  }
+
+  def closeWords(word: String, n: Int = 10): Seq[String] =
+    termStats
+      .withColumn("lev", levenshtein($"term", lit(word)))
+      .orderBy($"lev", $"term")
+      .limit(n).select($"term").as[String].collect().toSeq
+
+  def plan(req: String, opts: SearchOptions = SearchOptions()): QueryPlan = {
+    val parsed = QueryParser.parse(req, analyzer.stopWords)
+    QueryPlanner.plan(parsed, analyzer, this, opts.dist)
+  }
+
+  /** Full search with reference semantics. */
+  def search(req: String, opts: SearchOptions = SearchOptions(),
+             withWordInfo: Boolean = true): SearchOut = {
+    val qp = plan(req, opts)
+    if (qp.body.isEmpty && qp.fields.isEmpty) return SearchOut(Nil, 0, Nil)
+    val codes = qp.allCodes
+    if (codes.isEmpty) return SearchOut(Nil, 0, qp.leaves.map(l => WordInfo(l.word, 0L)))
+
+    val scoringCodes: Array[String] =
+      qp.leaves.filter(_.field.isEmpty).flatMap(_.codes).distinct.toArray
+
+    val blocks = postings.filter($"term".isin(codes.toSeq: _*))
+    val perDocCode: Dataset[(Long, String, Array[Long])] = blocks.flatMap { b =>
+      IndexBuilder.decodeBlock(b).map { case (d, _, _, coords) => (d, b.term, coords) }
+    }
+
+    val qpB = spark.sparkContext.broadcast(qp)
+    val scoringB = spark.sparkContext.broadcast(scoringCodes)
+    val evals: Dataset[EvalRow] = perDocCode
+      .groupByKey(_._1)
+      .mapGroups { (docId, rows) =>
+        val q = qpB.value
+        val m = mutable.HashMap.empty[String, Array[Long]]
+        rows.foreach { case (_, code, coords) => m(code) = coords }
+        val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
+        val leafCounts = q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
+        val body = q.body.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
+        val fieldHit = q.fields.exists(a => q.evalDoc(a, get).coords.nonEmpty)
+        val coords = if (q.body.isEmpty) {
+          // no body expression → the fields result is the main result
+          q.fields.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
+        } else body
+        val tfs = scoringB.value.map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
+        EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs)
+      }
+
+    val hits = evals.filter(e => e.coords.nonEmpty || e.fieldHit)
+
+    // field-docs set: first 500 field-matching docs in docId order
+    val fieldDocIds: Option[Set[Long]] =
+      if (qp.fields.isEmpty || qp.body.isEmpty) None
+      else Some(hits.filter(_.fieldHit).orderBy($"docId")
+        .limit(Consts.MaxFoundDocs).select($"docId").as[Long].collect().toSet)
+
+    // join page maps, stream in docId order into the shared assembler
+    val withMeta = hits.filter(_.coords.nonEmpty)
+      .joinWith(docMeta, hits("docId") === docMeta("docId"))
+      .orderBy($"_1.docId")
+
+    val docsAsc = withMeta.toLocalIterator()
+    val iter = new Iterator[ResultAssembler.DocEval] {
+      def hasNext: Boolean = docsAsc.hasNext
+      def next(): ResultAssembler.DocEval = {
+        val (e, md) = docsAsc.next()
+        val codeTfs = e.codes.zip(e.tfs).filter(_._2 > 0).toSeq
+        ResultAssembler.DocEval(e.docId, md.name, e.coords,
+          md.pageIds.toArray, md.pageEnds.toArray, md.docLen, codeTfs)
+      }
+    }
+    val (kept, nFoundPages) = ResultAssembler.selectDocs(iter, qp.filters, fieldDocIds)
+
+    // word infos (per-leaf raw counts) — optional extra agg
+    val wordInfos: Seq[WordInfo] =
+      if (!withWordInfo) qp.leaves.map(l => WordInfo(l.word, 0L))
+      else {
+        val counts: Map[Int, Long] = evals
+          .select(posexplode($"leafCounts").as(Seq("pos", "cnt")))
+          .groupBy($"pos").agg(sum($"cnt").as("total"))
+          .as[(Int, Long)].collect().toMap
+        qp.leaves.map(l => WordInfo(l.word, counts.getOrElse(l.id, 0L)))
+      }
+
+    // texts for the kept docs (pushed-down point lookups on the forward index)
+    val keptIds = kept.map(_.d.docId)
+    val textMap: Map[Long, ResultAssembler.Texts] =
+      if (keptIds.isEmpty) Map.empty
+      else docText.filter($"docId".isin(keptIds.toSeq: _*))
+        .collect().map(d => d.docId -> ResultAssembler.Texts(d.header, Seq(("1", d.body)))).toMap
+
+    val dfs = dfOf(scoringCodes.toSeq)
+    ResultAssembler.enrich(kept, nFoundPages, textMap.get,
+      c => dfs.getOrElse(c, 0L), nDocs, avgdl, wordInfos)
+  }
+
+  // ---------- BM25 top-k ----------
+
+  private def resolveQueryCodes(words: Seq[String]): Seq[String] = {
+    val chosen = words.flatMap(w => QueryPlanner.chooseCodes(w, exact0 = false, analyzer, this)._1).distinct
+    val present = existing(chosen)
+    chosen.filter(present).sorted
+  }
+
+  /** Batch bag-of-words BM25: scores every query in one pass over the
+    * blocks, bucket-parallel, per-bucket top-k heaps, tiny global merge.
+    * Canonical per-doc accumulation order (codes sorted) keeps scores
+    * bit-identical to the single-threaded reference scorer. */
+  def bm25TopKBatch(queries: Seq[Seq[String]], k: Int): Seq[Seq[(Long, Double)]] = {
+    val qCodes: Seq[Seq[String]] = queries.map(resolveQueryCodes)
+    val allCodes = qCodes.flatten.distinct
+    if (allCodes.isEmpty) return queries.map(_ => Nil)
+    val dfs = dfOf(allCodes)
+    val idf = allCodes.map(c => c -> Ranker.bm25Idf(nDocs, dfs.getOrElse(c, 0L))).toMap
+    val qIdf: Seq[Seq[(String, Double)]] = qCodes.map(_.map(c => c -> idf(c)))
+    val qIdfB = spark.sparkContext.broadcast(qIdf)
+    val ad = avgdl
+
+    val perBucket = postings.filter($"term".isin(allCodes: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, blocks) =>
+        // decode each block once: term → (docId, tfNorm) runs
+        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Double)]]
+        blocks.foreach { b =>
+          val buf = byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty)
+          IndexBuilder.decodeBlock(b).foreach { case (d, tf, dl, _) =>
+            buf += ((d, Ranker.bm25TfNorm(tf, dl, ad)))
+          }
+        }
+        val qs = qIdfB.value
+        qs.iterator.zipWithIndex.flatMap { case (codesIdf, qi) =>
+          val scores = mutable.LongMap.empty[Double]
+          // codes arrive sorted (resolveQueryCodes sorts) → canonical order
+          codesIdf.foreach { case (code, cIdf) =>
+            byTerm.get(code).foreach(_.foreach { case (d, tn) =>
+              scores(d) = scores.getOrElse(d, 0.0) + cIdf * tn
+            })
+          }
+          scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
+            .map { case (d, s) => (qi, d, s) }
+        }
+      }
+
+    val top = perBucket.collect()
+    val out = Array.fill(queries.length)(Seq.empty[(Long, Double)])
+    top.groupBy(_._1).foreach { case (qi, rows) =>
+      out(qi) = rows.map(r => (r._2, r._3)).toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
+    }
+    out.toSeq
+  }
+
+  /** Single-query exact top-k with two-phase block-max WAND: phase 1 scores
+    * the most promising buckets (by Σ idf·maxTfNorm upper bound), phase 2
+    * only the remaining buckets whose bound beats the phase-1 threshold.
+    * Buckets whose upper bound is below the running top-k floor are never
+    * decoded — the block-max skip of the north rule. */
+  def bm25TopK(words: Seq[String], k: Int): Seq[(Long, Double)] = {
+    val codes = resolveQueryCodes(words)
+    if (codes.isEmpty) return Nil
+    val dfs = dfOf(codes)
+    val idf = codes.map(c => c -> Ranker.bm25Idf(nDocs, dfs.getOrElse(c, 0L))).toMap
+
+    // bucket upper bounds from block metadata only (columns pruned)
+    val meta = postings.filter($"term".isin(codes: _*))
+      .select($"term", $"bucket", $"nDocs", $"maxTfNorm")
+      .as[(String, Int, Int, Double)].collect()
+    val ub = mutable.HashMap.empty[Int, Double]
+    val bucketDocs = mutable.HashMap.empty[Int, Long]
+    meta.foreach { case (t, b, nd, mx) =>
+      ub(b) = ub.getOrElse(b, 0.0) + idf(t) * mx
+      bucketDocs(b) = bucketDocs.getOrElse(b, 0L) + nd
+    }
+    val ordered = ub.toSeq.sortBy(-_._2)
+    var acc = 0L
+    val phase1 = ordered.takeWhile { case (b, _) => val t = acc < 4L * k; acc += bucketDocs(b); t }.map(_._1)
+    val p1 = scoreBuckets(codes, idf, phase1.toSet, k)
+    val floor = if (p1.size >= k) p1(k - 1)._2 else Double.NegativeInfinity
+    val phase2 = ordered.filterNot(e => phase1.contains(e._1)).filter(_._2 >= floor).map(_._1)
+    val p2 = if (phase2.isEmpty) Nil else scoreBuckets(codes, idf, phase2.toSet, k)
+    (p1 ++ p2).sortBy { case (d, s) => (-s, d) }.take(k)
+  }
+
+  private def scoreBuckets(
+      codes: Seq[String],
+      idf: Map[String, Double],
+      buckets: Set[Int],
+      k: Int): Seq[(Long, Double)] = {
+    if (buckets.isEmpty) return Nil
+    val ad = avgdl
+    val codesIdf = codes.sorted.map(c => c -> idf(c))
+    val cB = spark.sparkContext.broadcast(codesIdf)
+    postings
+      .filter($"term".isin(codes: _*) && $"bucket".isin(buckets.toSeq: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, blocks) =>
+        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlockRow]]
+        blocks.foreach(b => byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b)
+        val scores = mutable.LongMap.empty[Double]
+        cB.value.foreach { case (code, cIdf) =>
+          byTerm.get(code).foreach(_.foreach { b =>
+            IndexBuilder.decodeBlock(b).foreach { case (d, tf, dl, _) =>
+              scores(d) = scores.getOrElse(d, 0.0) + cIdf * Ranker.bm25TfNorm(tf, dl, ad)
+            }
+          })
+        }
+        scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(k).iterator
+      }
+      .collect().toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.fixtures.PagesGen
+import graft.mem.MemIndex
+import graft.query.SearchOptions
+import graft.spark.{IndexBuilder, IndexStore, SparkSearcher}
+import graft.text.{Analyzer, HtmlExtract}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rank-identity: the distributed engine must produce identical docIDs,
+  * positions, docodo ranks and BM25 scores to the single-threaded reference
+  * engine on the same corpus (BASELINE.json north_rule), plus resumable
+  * builds from snapshot markers.
+  */
+class SparkIdentitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("identity-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val nDocsCorpus = 260
+  lazy val indexDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+    val pages = PagesGen.pages(spark, nDocsCorpus, parts = 7)
+    IndexBuilder.build(spark, pages.toDF(), dir, IndexBuilder.BuildConfig(bucketBits = 5))
+    dir
+  }
+
+  lazy val mem: MemIndex = {
+    val m = new MemIndex(Analyzer())
+    // same docId assignment: url-sorted order
+    PagesGen.localPages(nDocsCorpus).sortBy(_._1).foreach { case (url, html) =>
+      val ex = HtmlExtract.extract(html)
+      if (ex.text.nonEmpty) m.addDoc("web:" + url, ex.headers(url, "web"), Seq(("1", ex.text)))
+    }
+    m
+  }
+
+  lazy val searcher: SparkSearcher = new SparkSearcher(spark, indexDir, Analyzer())
+
+  test("index stats match the reference engine") {
+    val snap = IndexStore.readSnapshot(indexDir).get
+    assert(snap.nDocs == mem.nDocs, "nDocs")
+    assert(math.abs(snap.avgdl - mem.avgdl) < 1e-9, s"avgdl ${snap.avgdl} vs ${mem.avgdl}")
+    // df/cf parity on a term sample
+    Seq("old", "lady", "running", "$ladi", "w0001", "&name", "tupman").foreach { t =>
+      val st = searcher.dfOf(Seq(t))
+      assert(st.getOrElse(t, 0L) == mem.df(t), s"df($t)")
+    }
+  }
+
+  val goldenQueries: Seq[(String, SearchOptions)] = Seq(
+    ("old", SearchOptions()),
+    ("and (tupman|old)", SearchOptions()),
+    ("lady old", SearchOptions(dist = 40)),
+    ("\"old lady\"", SearchOptions(dist = 40)),
+    ("\"lady old\"", SearchOptions(dist = 40)),
+    ("lady (old | young)", SearchOptions(dist = 40)),
+    ("\"old (lady|ladies) (who|were|looked)\"", SearchOptions(dist = 40)),
+    ("running ladies", SearchOptions()),
+    ("w0001 w0002", SearchOptions()),
+    ("?an?", SearchOptions(dist = 40)),
+    ("merriment {Source=web}", SearchOptions()),
+    ("old -filter:site1\\.", SearchOptions()))
+
+  test("search results identical: docIds, positions, ranks, BM25") {
+    goldenQueries.foreach { case (q, opt) =>
+      val a = mem.search(q, opt)
+      val b = searcher.search(q, opt)
+      assert(a.nFoundPages == b.nFoundPages, s"[$q] nFoundPages ${a.nFoundPages} vs ${b.nFoundPages}")
+      assert(a.docs.map(_.docId) == b.docs.map(_.docId), s"[$q] docIds")
+      a.docs.zip(b.docs).foreach { case (da, db) =>
+        assert(da.name == db.name, s"[$q] name")
+        assert(da.rank == db.rank, s"[$q] rank doc ${da.docId}: ${da.rank} vs ${db.rank}")
+        assert(da.bm25 == db.bm25, s"[$q] bm25 doc ${da.docId}: ${da.bm25} vs ${db.bm25}")
+        assert(da.pages.map(_.pageId) == db.pages.map(_.pageId), s"[$q] pageIds doc ${da.docId}")
+        da.pages.zip(db.pages).foreach { case (pa, pb) =>
+          assert(pa.pos.toSeq == pb.pos.toSeq, s"[$q] positions doc ${da.docId}")
+          assert(pa.rank == pb.rank, s"[$q] page rank")
+          assert(pa.text == pb.text, s"[$q] snippet doc ${da.docId}")
+        }
+        assert(da.headers == db.headers, s"[$q] headers")
+      }
+      assert(a.words.map(_.nFound) == b.words.map(_.nFound), s"[$q] word nFound")
+    }
+  }
+
+  test("BM25 top-k identical: batch and WAND paths") {
+    val queries = Seq(
+      Seq("old", "lady"),
+      Seq("running", "ladies", "merriment"),
+      Seq("w0001"),
+      Seq("w0003", "tupman"),
+      Seq("laughter", "company", "w0100"))
+    val batch = searcher.bm25TopKBatch(queries, 10)
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val ref = mem.bm25TopK(q, 10)
+      assert(batch(i) == ref, s"batch bm25 [$q]:\n${batch(i)}\nvs\n$ref")
+      val wand = searcher.bm25TopK(q, 10)
+      assert(wand == ref, s"wand bm25 [$q]")
+    }
+  }
+
+  test("build is resumable: second run skips all stages, results unchanged") {
+    indexDir // force first build
+    val pages = PagesGen.pages(spark, nDocsCorpus, parts = 7)
+    val stats = IndexBuilder.build(spark, pages.toDF(), indexDir, IndexBuilder.BuildConfig(bucketBits = 5))
+    assert(stats.resumedStages.toSet == Set("doctext", "docmeta", "postings", "termstats"), stats.resumedStages)
+    assert(stats.nDocs == mem.nDocs)
+    // partial resume: drop the termstats marker → only that stage re-runs
+    java.nio.file.Files.delete(IndexStore.stageMarkerPath(indexDir, "termstats"))
+    val stats2 = IndexBuilder.build(spark, pages.toDF(), indexDir, IndexBuilder.BuildConfig(bucketBits = 5))
+    assert(stats2.resumedStages.toSet == Set("doctext", "docmeta", "postings"))
+    val out = new SparkSearcher(spark, indexDir, Analyzer()).search("old")
+    assert(out.docs.map(_.docId) == mem.search("old").docs.map(_.docId))
+  }
+
+  test("extraction is byte-identical per url (spark vs local)") {
+    import spark.implicits._
+    val got = spark.read.parquet(s"$indexDir/doctext")
+      .select($"name", $"body").as[(String, String)].collect().toMap
+    PagesGen.localPages(nDocsCorpus).foreach { case (url, html) =>
+      val ex = HtmlExtract.extract(html)
+      assert(got.get("web:" + url).contains(ex.text), s"extract($url)")
+    }
+  }
+}
