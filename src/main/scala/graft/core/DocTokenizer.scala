@@ -33,11 +33,49 @@ object DocTokenizer {
       pageEnds: Array[Long],
       docLen: Long)
 
+  /** Word-code memo: natural-language term frequencies are Zipfian, so a
+    * per-partition cache turns stemming/vocab lookup into a hash probe for
+    * almost every token. Bounded to keep executor memory flat. */
+  final class CodeCache(an: Analyzer, max: Int = 1 << 17) {
+    private val m = new java.util.HashMap[String, Seq[String]]()
+    def codes(w: String): Seq[String] = {
+      var c = m.get(w)
+      if (c == null) {
+        c = an.wordCodes(w)
+        if (m.size < max) m.put(w, c)
+      }
+      c
+    }
+  }
+
   /** Index one document: optional header page "0" plus body pages "1".."N".
     * `bodyPages` are (id, text) in order.
     */
-  def index(an: Analyzer, header: String, bodyPages: Seq[(String, String)]): DocIndexed = {
-    val postings = Array.newBuilder[TokenPosting]
+  def index(an: Analyzer, header: String, bodyPages: Seq[(String, String)],
+            cache: CodeCache = null): DocIndexed = {
+    val g = indexGrouped(an, header, bodyPages, cache)
+    val out = new Array[TokenPosting](g.terms.length)
+    var i = 0
+    while (i < out.length) { out(i) = TokenPosting(g.terms(i), g.coords(i)); i += 1 }
+    DocIndexed(out, g.pageIds, g.pageEnds, g.docLen)
+  }
+
+  /** Allocation-light result: parallel term/coord arrays (terms are shared
+    * cache references, coords unboxed). */
+  final case class DocIndexedG(
+      terms: Array[String],
+      coords: Array[Long],
+      pageIds: Array[String],
+      pageEnds: Array[Long],
+      docLen: Long)
+
+  def indexGrouped(an: Analyzer, header: String, bodyPages: Seq[(String, String)],
+                   cache: CodeCache = null): DocIndexedG = {
+    val lookup: String => Seq[String] =
+      if (cache == null) an.wordCodes else cache.codes
+    val terms = Array.newBuilder[String]
+    val coords = new LongVec(256)
+    @inline def put(t: String, c: Long): Unit = { terms += t; coords += c }
     val pageIds = Array.newBuilder[String]
     val pageEnds = Array.newBuilder[Long]
     var coord = 0L
@@ -61,10 +99,10 @@ object DocTokenizer {
             var dc = name.length + 1
             Analyzer.splitWordBoundaries(value).foreach { piece =>
               if (piece.length >= 1 && Analyzer.isWordChar(piece.charAt(0))) {
-                postings += TokenPosting(Consts.FieldNameChar.toString + name, coord + dc - 1)
+                put(Consts.FieldNameChar.toString + name, coord + dc - 1)
                 val w = piece.toLowerCase(java.util.Locale.ROOT)
-                val codes = an.wordCodes(w)
-                codes.foreach(c => postings += TokenPosting(c, coord + dc))
+                val codes = lookup(w)
+                codes.foreach(c => put(c, coord + dc))
                 if (codes.nonEmpty) docLen += 1
               }
               dc += piece.length
@@ -80,10 +118,16 @@ object DocTokenizer {
     bodyPages.foreach { case (pid, text) =>
       val c = text.toLowerCase(java.util.Locale.ROOT)
       if (c.nonEmpty) {
-        an.bodyTokens(c).foreach { case (w, off) =>
-          val codes = an.wordCodes(w)
-          codes.foreach(code => postings += TokenPosting(code, coord + off))
-          if (codes.nonEmpty) docLen += 1
+        // inlined tokenizer loop: no per-token tuple allocation
+        val m = Analyzer.tokenRe.matcher(c)
+        while (m.find()) {
+          val len = m.end() - m.start()
+          if (len >= Consts.MinWordLength && len <= Consts.MaxWordLength) {
+            val w = m.group()
+            val codes = lookup(w)
+            codes.foreach(code => put(code, coord + m.start()))
+            if (codes.nonEmpty) docLen += 1
+          }
         }
         coord += c.length
         pageIds += pid
@@ -91,6 +135,6 @@ object DocTokenizer {
       }
     }
 
-    DocIndexed(postings.result(), pageIds.result(), pageEnds.result(), docLen)
+    DocIndexedG(terms.result(), coords.toArray, pageIds.result(), pageEnds.result(), docLen)
   }
 }

@@ -1,6 +1,6 @@
 package graft.core
 
-import scala.collection.mutable.ArrayBuffer
+
 
 /** Delta + 15-bit varint posting codec.
   *
@@ -20,7 +20,7 @@ object Varint {
   private final val Mask = Overflow - 1           // 0x7FFF payload mask
 
   /** Append one delta's varint units to `out` (as packed bytes, LE). */
-  @inline private def putDelta(out: ArrayBuffer[Byte], delta0: Long): Unit = {
+  @inline private def putDelta(out: ByteVec, delta0: Long): Unit = {
     var diff = delta0
     var go = true
     while (go) {
@@ -40,7 +40,7 @@ object Varint {
 
   /** Encode ascending values (deltas against `base`, first delta = xs(0)-base). */
   def encode(xs: Array[Long], base: Long = 0L): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](xs.length * 2)
+    val out = new ByteVec(xs.length * 2 + 8)
     var last = base
     var i = 0
     while (i < xs.length) {
@@ -53,7 +53,7 @@ object Varint {
 
   /** Encode a sequence of raw (non-cumulative) unsigned values, e.g. tfs. */
   def encodeRaw(xs: Array[Long]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](xs.length * 2)
+    val out = new ByteVec(xs.length * 2 + 8)
     var i = 0
     while (i < xs.length) { putDelta(out, xs(i)); i += 1 }
     out.toArray

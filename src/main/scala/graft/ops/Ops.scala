@@ -1,0 +1,414 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A registered operator: a Spark query plus (when SQL-expressible) an ANSI
+  * SQL oracle that DuckDB runs over the same parquet tables. Column names
+  * match exactly on both sides; every result carries a deterministic total
+  * ORDER BY; floats are rounded identically.
+  */
+final case class Op(
+    name: String,
+    query: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Training-data-pipeline operators over the `documents` / `embeddings` /
+  * `events` tables: text analysis, deduplication, similarity search,
+  * sessionization. All are pure DataFrame plans (codegen, pushdown) — no
+  * RDDs, no driver loops.
+  */
+object Ops {
+
+  private val TOKEN_RE = "\\p{L}+|\\p{N}+"          // DuckDB literal
+  private val TOKEN_RE_SQL = "\\\\p{L}+|\\\\p{N}+" // Spark SQL literal (escape processed)
+
+  /** stopword set for quality/lang scoring (fixed, mirrored in SQL). */
+  private val stopSet = Seq("the", "a", "of", "and", "to")
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(expr(s"regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0)")).as("term"))
+      .filter(length(col("term")).between(3, 32))
+
+  private val toksSql =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TOKEN_RE')) AS term
+       |  FROM documents
+       |), f AS (SELECT * FROM toks WHERE length(term) BETWEEN 3 AND 32)""".stripMargin
+
+  // ---------- text analysis ----------
+
+  val tokenCount = Op("tok_count",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_ws"),
+      size(expr(s"filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32)"))
+        .cast("long").as("n_tok"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $toksSql,
+            |tk AS (SELECT doc_id, count(*) AS n_tok FROM f GROUP BY doc_id)
+            |SELECT d.doc_id,
+            |       len(regexp_extract_all(d.text, '\\S+')) AS n_ws,
+            |       coalesce(tk.n_tok, 0) AS n_tok
+            |FROM documents d LEFT JOIN tk USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+
+  val qualityScore = Op("quality_score",
+    (s, dir) => {
+      val t = toks(s, dir)
+      val stats = t.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        round(avg(length(col("term"))), 4).as("avg_len"),
+        round(sum(when(col("term").isin(stopSet: _*), 1).otherwise(0)).cast("double") / count(lit(1)), 4).as("stop_ratio"))
+      docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .join(stats, Seq("doc_id"), "left")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $toksSql,
+            |st AS (
+            |  SELECT doc_id, count(*) AS n_tok, round(avg(length(term)), 4) AS avg_len,
+            |         round(sum(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS stop_ratio
+            |  FROM f GROUP BY doc_id)
+            |SELECT d.doc_id, d.n_chars, st.n_tok, st.avg_len, st.stop_ratio
+            |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+
+  /** marker-word language heuristic (deterministic; verifies the operator,
+    * not label accuracy — the synthetic corpus has no real language signal). */
+  val langId = Op("lang_id",
+    (s, dir) => {
+      val t = toks(s, dir)
+      val markers = Map(
+        "en" -> Seq("the", "and", "this", "that"),
+        "de" -> Seq("der", "die", "das", "und"),
+        "es" -> Seq("los", "las", "que", "con"),
+        "fr" -> Seq("les", "des", "est", "avec"))
+      val aggCols = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+        sum(when(col("term").isin(ws: _*), 1).otherwise(0)).as(s"s_$lang")
+      }
+      val scored = t.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      val langCols = markers.keys.toSeq.sorted
+      val withPred = scored.withColumn("pred",
+        langCols.foldLeft((lit(-1L), lit("und"))) { case ((bs, bl), l) =>
+          val better = col(s"s_$l") > bs
+          (when(better, col(s"s_$l")).otherwise(bs), when(better, lit(l)).otherwise(bl))
+        }._2)
+      withPred.select(col("doc_id"), col("pred")).orderBy("doc_id")
+    },
+    Some(s"""WITH $toksSql,
+            |sc AS (
+            |  SELECT doc_id,
+            |    sum(CASE WHEN term IN ('der','die','das','und') THEN 1 ELSE 0 END) AS s_de,
+            |    sum(CASE WHEN term IN ('the','and','this','that') THEN 1 ELSE 0 END) AS s_en,
+            |    sum(CASE WHEN term IN ('los','las','que','con') THEN 1 ELSE 0 END) AS s_es,
+            |    sum(CASE WHEN term IN ('les','des','est','avec') THEN 1 ELSE 0 END) AS s_fr
+            |  FROM f GROUP BY doc_id)
+            |SELECT doc_id,
+            |  CASE
+            |    WHEN s_fr > s_es AND s_fr > s_en AND s_fr > s_de THEN 'fr'
+            |    WHEN s_es > s_en AND s_es > s_de THEN 'es'
+            |    WHEN s_en > s_de THEN 'en'
+            |    WHEN s_de > -1 THEN 'de'
+            |  END AS pred
+            |FROM sc ORDER BY doc_id""".stripMargin))
+
+  /** document fingerprint: md5 of whitespace-normalized lowercase text. */
+  val fingerprint = Op("fingerprint",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------- deduplication ----------
+
+  val dedupExact = Op("dedup_exact",
+    (s, dir) => docs(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes")),
+    Some("""SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+           |count(*) - count(DISTINCT md5(text)) AS n_dupes FROM documents""".stripMargin))
+
+  /** word 3-gram shingles, shared by minhash + jaccard (Spark side). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      expr(s"regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0)").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3))) ELSE array() END")).as("sh"))
+      .distinct()
+
+  private val shinglesSql =
+    s"""sh0 AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOKEN_RE') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+       |  FROM sh0 CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t)-1, 1))) AS i) g
+       |)""".stripMargin
+
+  /** MinHash signatures: 8 seeded md5-derived min-hashes over 3-gram word
+    * shingles (shingle→minhash; the LSH band join is dedup_minhash_pairs). */
+  val minhashSig = Op("dedup_minhash_sig",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val aggs = (0 until 8).map(seed =>
+        min(conv(substring(md5(concat(lit(s"s$seed|"), col("sh"))), 1, 15), 16, 10).cast("long")).as(s"mh$seed"))
+      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    },
+    Some {
+      val cols = (0 until 8).map(seed =>
+        s"min(('0x' || substr(md5('s$seed|' || sh), 1, 15))::BIGINT) AS mh$seed").mkString(",\n    ")
+      s"""WITH $shinglesSql
+         |SELECT doc_id,
+         |    $cols
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  /** LSH band join: 4 bands × 2 rows; candidate pairs sharing any band. */
+  val minhashPairs = Op("dedup_minhash_pairs",
+    (s, dir) => {
+      val sig = minhashSig.query(s, dir)
+      val bands = (0 until 4).map(b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          md5(concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bh")))
+        .reduce(_ unionAll _)
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .orderBy("a", "b")
+    },
+    Some {
+      val cols = (0 until 8).map(seed =>
+        s"min(('0x' || substr(md5('s$seed|' || sh), 1, 15))::BIGINT) AS mh$seed").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bh FROM sig").mkString("\n  UNION ALL\n  ")
+      s"""WITH $shinglesSql,
+         |sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSel
+         |)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin
+    })
+
+  /** 32-bit SimHash over md5-derived token hashes. */
+  val simhash = Op("dedup_simhash",
+    (s, dir) => {
+      val t = toks(s, dir).withColumn("h",
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+      val bitCols = (0 until 32).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+      val agg = t.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      val sh = (0 until 32).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+      agg.select(col("doc_id"), sh.as("simhash")).orderBy("doc_id")
+    },
+    Some {
+      val bitSums = (0 until 32).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")
+      val recompose = (0 until 32).map(i =>
+        s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH $toksSql,
+         |h AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM f),
+         |bits AS (SELECT doc_id,
+         |    $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $recompose AS simhash FROM bits ORDER BY doc_id""".stripMargin
+    })
+
+  /** top-20 doc pairs by 3-gram shingle Jaccard (near-dup ranking). */
+  val ngramJaccard = Op("dedup_jaccard_top",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .select(col("a"), col("b"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+        .orderBy(desc("jaccard"), col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""WITH $shinglesSql,
+            |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT a, b, round(i::DOUBLE / (za.n + zb.n - i), 6) AS jaccard
+            |FROM inter JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+            |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin))
+
+  // ---------- similarity search (embeddings) ----------
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** brute-force cosine top-5 neighbors for vec_id < 5 (baseline ANN). */
+  val annBrute = Op("ann_cosine_topk",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cos = q.join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(
+            expr("aggregate(zip_with(qv, embedding, (a,b) -> cast(a as double)*cast(b as double)), 0D, (acc,x) -> acc + x)") /
+              (sqrt(expr("aggregate(transform(qv, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)")) *
+                sqrt(expr("aggregate(transform(embedding, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)"))),
+            5).as("cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+      cos.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+           |cos AS (
+           |  SELECT q.qid, e.vec_id,
+           |         round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+           |               (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+           |                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 5) AS cos
+           |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+           |rk AS (SELECT qid, vec_id, cos,
+           |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+           |       FROM cos)
+           |SELECT qid, rk, vec_id, cos FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+
+  /** LSH-bucketed ANN (the scale path): 12 deterministic random hyperplanes
+    * → 12-bit bucket; search within bucket only. Rows-only check (the
+    * hyperplane PRNG is not SQL-expressible) — recall vs brute force is
+    * asserted in AnnSpec instead. */
+  val annLsh = Op("ann_lsh_topk",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      // deterministic hyperplanes: component j of plane p = hash-based ±1
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val planes: Array[Array[Double]] = Array.tabulate(12) { p =>
+        Array.tabulate(dim) { j =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(s"plane$p|$j", 42)
+          if ((h & 1) == 0) 1.0 else -1.0
+        }
+      }
+      val planesB = s.sparkContext.broadcast(planes)
+      import s.implicits._
+      val withBucket = e.as[(Long, Seq[Float])].map { case (id, v) =>
+        val ps = planesB.value
+        var bucket = 0
+        var p = 0
+        while (p < ps.length) {
+          var dot = 0.0
+          var j = 0
+          while (j < v.length) { dot += ps(p)(j) * v(j); j += 1 }
+          if (dot > 0) bucket |= (1 << p)
+          p += 1
+        }
+        (id, bucket, v)
+      }.toDF("vec_id", "bucket", "embedding")
+      val q = withBucket.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("bucket"), col("embedding").as("qv"))
+      val cand = q.join(withBucket, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+      val cos = cand.select(col("qid"), col("vec_id"),
+        round(
+          expr("aggregate(zip_with(qv, embedding, (a,b) -> cast(a as double)*cast(b as double)), 0D, (acc,x) -> acc + x)") /
+            (sqrt(expr("aggregate(transform(qv, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)")) *
+              sqrt(expr("aggregate(transform(embedding, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)"))),
+          5).as("cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+      cos.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+    None)
+
+  // ---------- events: windows + sessionization ----------
+
+  val eventsHourly = Op("events_hourly",
+    (s, dir) => s.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour", "event_type"),
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+           |count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+
+  val sessionize = Op("sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""WITH x AS (
+           |  SELECT user_id, ts,
+           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |y AS (SELECT user_id,
+           |        CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+           |      FROM x)
+           |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+           |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  // ---------- TPC-H-ish relational sanity ----------
+
+  val q1Agg = Op("q1_agg",
+    (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+           |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+           |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  val q3Join = Op("q3_join",
+    (s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue, count(*) AS n
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+
+  val topCustomers = Op("top_customers",
+    (s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("total"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total"))
+        .orderBy(desc("total"), col("c_custkey")).limit(10)
+    },
+    Some("""SELECT c_custkey, c_name, total FROM (
+           |  SELECT o_custkey, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1) t
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin))
+
+  val all: Seq[Op] = Seq(
+    tokenCount, qualityScore, langId, fingerprint,
+    dedupExact, minhashSig, minhashPairs, simhash, ngramJaccard,
+    annBrute, annLsh,
+    eventsHourly, sessionize,
+    q1Agg, q3Join, topCustomers)
+}

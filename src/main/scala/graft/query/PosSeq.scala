@@ -1,6 +1,6 @@
 package graft.query
 
-import scala.collection.mutable.ArrayBuffer
+import graft.core.LongVec
 
 /** A posting coordinate sequence with the transient query attribute R
   * (proximity radius; R < 0 ⇒ ordered/"exact" combination), mirroring the
@@ -27,8 +27,8 @@ object PosSeq {
     val absR = math.max(math.abs(a.r), math.abs(b.r))
     val r = if (a.r < 0 && b.r < 0) -absR else absR
 
-    val out = new ArrayBuffer[Long]()
-    val group = new ArrayBuffer[Long]()
+    val out = new LongVec()
+    val group = new LongVec()
     var inGr0 = false
     var inGr1 = false
 
@@ -83,7 +83,7 @@ object PosSeq {
     val absR = math.max(math.abs(a.r), math.abs(b.r))
     val r = if (a.r < 0 && b.r < 0) -absR else absR
     val s0 = a.coords; val s1 = b.coords
-    val out = new ArrayBuffer[Long](s0.length + s1.length)
+    val out = new LongVec(s0.length + s1.length)
     var i0 = 0; var i1 = 0
     while (i0 < s0.length && i1 < s1.length) {
       val c = java.lang.Long.compareUnsigned(s0(i0), s1(i1))

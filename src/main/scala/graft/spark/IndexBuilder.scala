@@ -34,7 +34,9 @@ object IndexBuilder {
   final case class BuildConfig(
       bucketBits: Int = Consts.DocBucketBits,
       stopWords: Set[String] = Set.empty,
-      sourceName: String = "web")
+      sourceName: String = "web",
+      includeHeaders: Boolean = true,
+      stemming: Boolean = true)
 
   final case class BuildStats(
       nDocs: Long,
@@ -42,22 +44,32 @@ object IndexBuilder {
       totalPostings: Long,
       resumedStages: Seq[String])
 
-  def analyzerFor(cfg: BuildConfig): Analyzer = Analyzer(stopWords = cfg.stopWords)
+  def analyzerFor(cfg: BuildConfig): Analyzer =
+    Analyzer(stopWords = cfg.stopWords, enableStemming = cfg.stemming)
 
-  /** Signature of the input snapshot: file list + counts. Pins resume. */
-  private def inputSignature(pages: DataFrame): String = {
+  /** Signature of the input snapshot + build config. Pins resume: a stage
+    * marker only skips when both the input files and the config match. */
+  private def inputSignature(pages: DataFrame, cfg: BuildConfig): String = {
     val files = pages.inputFiles.sorted
     val h = java.security.MessageDigest.getInstance("SHA-256")
     files.foreach(f => h.update(f.getBytes("UTF-8")))
+    h.update(cfg.toString.getBytes("UTF-8"))
     files.length + ":" + h.digest().map("%02x".format(_)).mkString.take(16)
   }
 
   def build(spark: SparkSession, pages: DataFrame, indexDir: String,
             cfg: BuildConfig = BuildConfig()): BuildStats = {
     import spark.implicits._
-    val sig = inputSignature(pages)
+    val sig = inputSignature(pages, cfg)
     val resumed = ArrayBuffer.empty[String]
     val an = analyzerFor(cfg)
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tMark = System.nanoTime()
+    def mark(stage: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[graft-timing] $stage: ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
 
     val docTextPath = s"$indexDir/doctext"
     val docMetaPath = s"$indexDir/docmeta"
@@ -82,7 +94,10 @@ object IndexBuilder {
           // FromHtml returns null for empty text → doc skipped
           // (WebDataSource.cs:244,268)
           if (ex.text.isEmpty) None
-          else Some(DocTextRow(docId, src + Consts.DocSep + url, ex.headers(url, src), ex.text))
+          else {
+            val hdr = if (cfg.includeHeaders) ex.headers(url, src) else ""
+            Some(DocTextRow(docId, src + Consts.DocSep + url, hdr, ex.text))
+          }
         }
       }.toDS()
       docText.write.mode("overwrite").parquet(docTextPath)
@@ -90,6 +105,19 @@ object IndexBuilder {
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
         "doctext", sig, rows, dirBytes(docTextPath), Map("path" -> docTextPath)))
     }
+
+    mark("stage1-doctext")
+
+    // The tokenize passes (stages 2/3) are CPU-bound map stages over the
+    // forward index. Make sure the scan yields at least ~3 splits per core:
+    // with the default 128 MB maxPartitionBytes a small corpus packs into
+    // one FilePartition and tokenization runs single-threaded, which is
+    // exactly the scaling bug the N-vs-4N run is meant to catch. At real
+    // scale bytes/(3·cores) exceeds 128 MB and this clamps to the default.
+    val cores = spark.sparkContext.defaultParallelism
+    val targetSplit = math.min(128L << 20,
+      math.max(1L << 20, dirBytes(docTextPath) / math.max(1, cores * 3)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
 
     val docText = spark.read.parquet(docTextPath).as[DocTextRow]
 
@@ -99,8 +127,9 @@ object IndexBuilder {
       val bc = spark.sparkContext.broadcast(an)
       val docMeta = docText.mapPartitions { it =>
         val a = bc.value
+        val cache = new DocTokenizer.CodeCache(a)
         it.map { d =>
-          val di = DocTokenizer.index(a, d.header, Seq(("1", d.body)))
+          val di = DocTokenizer.indexGrouped(a, d.header, Seq(("1", d.body)), cache)
           DocMetaRow(d.docId, d.name, di.pageIds.toSeq, di.pageEnds.toSeq, di.docLen)
         }
       }
@@ -111,6 +140,7 @@ object IndexBuilder {
         "docmeta", sig, agg.getLong(0), dirBytes(docMetaPath),
         Map("nDocs" -> agg.getLong(0).toString, "avgdl" -> agg.getDouble(1).toString)))
     }
+    mark("stage2-docmeta")
     val nDocs = IndexStore.readStageDetail(indexDir, "docmeta", "nDocs").get.toLong
     val avgdl = IndexStore.readStageDetail(indexDir, "docmeta", "avgdl").get.toDouble
 
@@ -121,17 +151,23 @@ object IndexBuilder {
       val bits = cfg.bucketBits
       val termDocs: Dataset[TermDocRow] = docText.mapPartitions { it =>
         val a = bc.value
+        val cache = new DocTokenizer.CodeCache(a)
         it.flatMap { d =>
-          val di = DocTokenizer.index(a, d.header, Seq(("1", d.body)))
+          val di = DocTokenizer.indexGrouped(a, d.header, Seq(("1", d.body)), cache)
           // map-side combine: group this doc's postings per term
-          val byTerm = scala.collection.mutable.HashMap.empty[String, ArrayBuffer[Long]]
-          di.postings.foreach { tp =>
-            byTerm.getOrElseUpdate(tp.term, new ArrayBuffer[Long]) += tp.coord
+          val byTerm = new java.util.HashMap[String, graft.core.LongVec]()
+          var i = 0
+          while (i < di.terms.length) {
+            var v = byTerm.get(di.terms(i))
+            if (v == null) { v = new graft.core.LongVec(8); byTerm.put(di.terms(i), v) }
+            v += di.coords(i)
+            i += 1
           }
           val bucket = (d.docId >> bits).toInt
-          byTerm.iterator.map { case (term, coords) =>
-            val arr = coords.toArray // already ascending per doc
-            TermDocRow(term, bucket, d.docId, arr.length, di.docLen, Varint.encode(arr))
+          import scala.jdk.CollectionConverters._
+          byTerm.entrySet().iterator().asScala.map { e =>
+            val arr = e.getValue.toArray // already ascending per doc
+            TermDocRow(e.getKey, bucket, d.docId, arr.length, di.docLen, Varint.encode(arr))
           }
         }
       }
@@ -149,6 +185,7 @@ object IndexBuilder {
         "postings", sig, m.getLong(1), dirBytes(postingsPath),
         Map("totalPostings" -> m.getLong(0).toString)))
     }
+    mark("stage3-postings")
     val totalPostings = IndexStore.readStageDetail(indexDir, "postings", "totalPostings").get.toLong
 
     // ---- stage 4: term dictionary from block metadata (tiny agg) ----
@@ -163,6 +200,8 @@ object IndexBuilder {
         "termstats", sig, spark.read.parquet(termStatsPath).count(), dirBytes(termStatsPath), Map.empty))
     }
 
+    mark("stage4-termstats")
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
     // ---- snapshot commit ----
     val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
     IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
@@ -184,10 +223,10 @@ object IndexBuilder {
         val head = buf.next()
         val term = head.term
         val bucket = head.bucket
-        val docIds = ArrayBuffer(head.docId)
-        val tfs = ArrayBuffer(head.tf.toLong)
-        val dls = ArrayBuffer(head.dl)
-        val pos = new ArrayBuffer[Byte](head.coords.length * 2)
+        val docIds = new graft.core.LongVec(); docIds += head.docId
+        val tfs = new graft.core.LongVec(); tfs += head.tf.toLong
+        val dls = new graft.core.LongVec(); dls += head.dl
+        val pos = new graft.core.ByteVec(head.coords.length * 2)
         pos ++= head.coords
         var nPostings = head.tf.toLong
         var maxTfNorm = graft.query.Ranker.bm25TfNorm(head.tf.toLong, head.dl, avgdl)
@@ -201,7 +240,7 @@ object IndexBuilder {
           val tn = graft.query.Ranker.bm25TfNorm(r.tf.toLong, r.dl, avgdl)
           if (tn > maxTfNorm) maxTfNorm = tn
         }
-        PostingBlockRow(term, bucket, docIds.head, docIds.length, nPostings,
+        PostingBlockRow(term, bucket, docIds(0), docIds.length, nPostings,
           Varint.encode(docIds.toArray), Varint.encodeRaw(tfs.toArray),
           Varint.encodeRaw(dls.toArray), pos.toArray, maxTfNorm)
       }

@@ -33,6 +33,22 @@ final class SparkSearcher(
   val nDocs: Long = snap.nDocs
   val avgdl: Double = snap.avgdl
 
+  // small indexes must still scan/decode in parallel (see IndexBuilder):
+  // aim for ≥3 splits per core, clamped to the 128 MB default at scale.
+  locally {
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      val f = new java.io.File(p)
+      if (f.exists()) walk(f) else 0L
+    }
+    val cores = spark.sparkContext.defaultParallelism
+    val targetSplit = math.min(128L << 20,
+      math.max(1L << 20, dirBytes(s"$indexDir/postings") / math.max(1, cores * 3)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
+  }
+
   @transient lazy val termStats: Dataset[TermStatRow] = {
     val ds = spark.read.parquet(s"$indexDir/termstats").as[TermStatRow]
     ds.cache()
@@ -176,15 +192,52 @@ final class SparkSearcher(
     chosen.filter(present).sorted
   }
 
+  /** bounded top-k selection from a score map: (score desc, docId asc),
+    * no full sort/allocation per (query, bucket). */
+  private def topK(scores: mutable.LongMap[Double], k: Int): Array[(Long, Double)] = {
+    val ds = new Array[Long](k)
+    val ss = new Array[Double](k)
+    var n = 0
+    scores.foreachEntry { (d, s) =>
+      if (n < k || s > ss(n - 1) || (s == ss(n - 1) && d < ds(n - 1))) {
+        var i = if (n < k) n else k - 1
+        while (i > 0 && (ss(i - 1) < s || (ss(i - 1) == s && ds(i - 1) > d))) {
+          ds(i) = ds(i - 1); ss(i) = ss(i - 1); i -= 1
+        }
+        ds(i) = d; ss(i) = s
+        if (n < k) n += 1
+      }
+    }
+    Array.tabulate(n)(i => (ds(i), ss(i)))
+  }
+
+  /** Resolve many bag-of-words queries with ONE dictionary round-trip. */
+  private def resolveQueryCodesBatch(queries: Seq[Seq[String]]): Seq[Seq[String]] = {
+    val perWord = queries.flatten.distinct.map { w =>
+      w -> QueryPlanner.chooseCodes(w, exact0 = false, analyzer, this)._1
+    }.toMap
+    val present = existing(perWord.values.flatten.toSeq.distinct)
+    queries.map(q => q.flatMap(perWord(_)).distinct.filter(present).sorted)
+  }
+
   /** Batch bag-of-words BM25: scores every query in one pass over the
     * blocks, bucket-parallel, per-bucket top-k heaps, tiny global merge.
     * Canonical per-doc accumulation order (codes sorted) keeps scores
     * bit-identical to the single-threaded reference scorer. */
   def bm25TopKBatch(queries: Seq[Seq[String]], k: Int): Seq[Seq[(Long, Double)]] = {
-    val qCodes: Seq[Seq[String]] = queries.map(resolveQueryCodes)
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tM = System.nanoTime()
+    def mark(s: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[graft-timing] bm25batch $s: ${(now - tM) / 1e9}%.2fs")
+      tM = now
+    }
+    val qCodes: Seq[Seq[String]] = resolveQueryCodesBatch(queries)
+    mark("resolve")
     val allCodes = qCodes.flatten.distinct
     if (allCodes.isEmpty) return queries.map(_ => Nil)
     val dfs = dfOf(allCodes)
+    mark("dfOf")
     val idf = allCodes.map(c => c -> Ranker.bm25Idf(nDocs, dfs.getOrElse(c, 0L))).toMap
     val qIdf: Seq[Seq[(String, Double)]] = qCodes.map(_.map(c => c -> idf(c)))
     val qIdfB = spark.sparkContext.broadcast(qIdf)
@@ -210,12 +263,12 @@ final class SparkSearcher(
               scores(d) = scores.getOrElse(d, 0.0) + cIdf * tn
             })
           }
-          scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
-            .map { case (d, s) => (qi, d, s) }
+          topK(scores, k).map { case (d, s) => (qi, d, s) }
         }
       }
 
     val top = perBucket.collect()
+    mark("scoreJob")
     val out = Array.fill(queries.length)(Seq.empty[(Long, Double)])
     top.groupBy(_._1).foreach { case (qi, rows) =>
       out(qi) = rows.map(r => (r._2, r._3)).toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
@@ -277,7 +330,7 @@ final class SparkSearcher(
             }
           })
         }
-        scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(k).iterator
+        topK(scores, k).iterator
       }
       .collect().toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
   }
