@@ -113,7 +113,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lo = math.max(1, cpus / 4)
-    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "40000").toLong
+    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "200000").toLong
     val nQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "1000").toInt
 
     // corpus: generated once, both phases read the same parquet

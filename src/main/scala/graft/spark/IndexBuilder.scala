@@ -173,8 +173,15 @@ object IndexBuilder {
       }
 
       val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      // Document-sharded layout: partition by BUCKET ONLY, so every term of
+      // a given document lands in the same output partition (bucket is a
+      // docId range). Query-side BM25 scoring and positional evaluation
+      // then run shuffle-free as mapPartitions over the scan — each task
+      // scores its own document shard (the classic sharded-search layout).
+      // Hot terms still shard across buckets; within each file rows are
+      // term-sorted so row-group stats prune term lookups.
       val blocks = termDocs
-        .repartition(shufflePartitions, $"term", $"bucket")
+        .repartition(shufflePartitions, $"bucket")
         .sortWithinPartitions($"term", $"bucket", $"docId")
         .mapPartitions(encodeBlocks(_, avgdl))
 

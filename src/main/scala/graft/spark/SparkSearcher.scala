@@ -112,18 +112,20 @@ final class SparkSearcher(
       qp.leaves.filter(_.field.isEmpty).flatMap(_.codes).distinct.toArray
 
     val blocks = postings.filter($"term".isin(codes.toSeq: _*))
-    val perDocCode: Dataset[(Long, String, Array[Long])] = blocks.flatMap { b =>
-      IndexBuilder.decodeBlock(b).map { case (d, _, _, coords) => (d, b.term, coords) }
-    }
 
+    // Doc-sharded index layout: all terms of a document live in the same
+    // partition, so per-doc evaluation is a LOCAL mapPartitions (no shuffle)
     val qpB = spark.sparkContext.broadcast(qp)
     val scoringB = spark.sparkContext.broadcast(scoringCodes)
-    val evals: Dataset[EvalRow] = perDocCode
-      .groupByKey(_._1)
-      .mapGroups { (docId, rows) =>
-        val q = qpB.value
-        val m = mutable.HashMap.empty[String, Array[Long]]
-        rows.foreach { case (_, code, coords) => m(code) = coords }
+    val evals: Dataset[EvalRow] = blocks.mapPartitions { it =>
+      val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
+      it.foreach { b =>
+        IndexBuilder.decodeBlock(b).foreach { case (d, _, _, coords) =>
+          byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+        }
+      }
+      val q = qpB.value
+      byDoc.iterator.map { case (docId, m) =>
         val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
         val leafCounts = q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
         val body = q.body.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
@@ -135,6 +137,7 @@ final class SparkSearcher(
         val tfs = scoringB.value.map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
         EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs)
       }
+    }
 
     val hits = evals.filter(e => e.coords.nonEmpty || e.fieldHit)
 
@@ -243,9 +246,10 @@ final class SparkSearcher(
     val qIdfB = spark.sparkContext.broadcast(qIdf)
     val ad = avgdl
 
+    // Doc-sharded layout → score locally per partition, NO shuffle: each
+    // task holds complete documents (every query term of its docs).
     val perBucket = postings.filter($"term".isin(allCodes: _*))
-      .groupByKey(_.bucket)
-      .flatMapGroups { (_, blocks) =>
+      .mapPartitions { blocks =>
         // decode each block once: term → (docId, tfNorm) runs
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Double)]]
         blocks.foreach { b =>
@@ -318,8 +322,7 @@ final class SparkSearcher(
     val cB = spark.sparkContext.broadcast(codesIdf)
     postings
       .filter($"term".isin(codes: _*) && $"bucket".isin(buckets.toSeq: _*))
-      .groupByKey(_.bucket)
-      .flatMapGroups { (_, blocks) =>
+      .mapPartitions { blocks =>
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlockRow]]
         blocks.foreach(b => byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b)
         val scores = mutable.LongMap.empty[Double]
