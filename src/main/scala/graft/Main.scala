@@ -1,0 +1,99 @@
+package graft
+
+import graft.query.SearchOptions
+import graft.spark.{IndexBuilder, SparkSearcher}
+import graft.text.Analyzer
+import org.apache.spark.sql.SparkSession
+
+/** Console host — the engine's CLI (≙ reference Program.cs:52-265, with
+  * spark-submit-friendly subcommands instead of an interactive loop):
+  *
+  *   build <pagesParquet> <indexDir> [--no-headers] [--no-stemming]
+  *         [--stops <file>] [--page-size N] [--bucket-bits N]
+  *   query <indexDir> <request...>        (full positional search)
+  *   bm25  <indexDir> <k> <words...>      (top-k scoring)
+  *   suggest <indexDir> <prefix>          (autocomplete)
+  *   serve <indexDir> [port]              (REST host, GET /search?req=)
+  *   histogram <indexDir> [n]             (top terms by cf)
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "build" :: pages :: indexDir :: rest =>
+      val spark = session()
+      var cfg = IndexBuilder.BuildConfig()
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--no-headers" :: t => cfg = cfg.copy(includeHeaders = false); r = t
+        case "--no-stemming" :: t => cfg = cfg.copy(stemming = false); r = t
+        case "--stops" :: f :: t =>
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try cfg = cfg.copy(stopWords = Analyzer.parseStopWords(src.getLines()))
+          finally src.close()
+          r = t
+        case "--page-size" :: n :: t => cfg = cfg.copy(pageSize = n.toInt); r = t
+        case "--bucket-bits" :: n :: t => cfg = cfg.copy(bucketBits = n.toInt); r = t
+        case other :: t => System.err.println(s"unknown option $other"); r = t
+        case Nil => ()
+      }
+      val stats = IndexBuilder.build(spark, spark.read.parquet(pages), indexDir, cfg)
+      println(s"built: nDocs=${stats.nDocs} postings=${stats.totalPostings} avgdl=${stats.avgdl} resumed=${stats.resumedStages.mkString(",")}")
+      spark.stop()
+
+    case "query" :: indexDir :: req =>
+      val spark = session()
+      val out = searcher(spark, indexDir).search(req.mkString(" "), SearchOptions(dist = 40))
+      println(s"found ${out.docs.size} docs, ${out.nFoundPages} pages")
+      out.docs.foreach { d =>
+        println(f"  ${d.docId}%6d rank=${d.rank}%.3f bm25=${d.bm25}%.4f ${d.name}")
+        d.pages.take(2).foreach(p => println(s"       [${p.pageId}] ${p.text.take(160)}"))
+      }
+      spark.stop()
+
+    case "bm25" :: indexDir :: k :: words =>
+      val spark = session()
+      searcher(spark, indexDir).bm25TopK(words, k.toInt)
+        .foreach { case (d, s) => println(f"  $d%8d  $s%.6f") }
+      spark.stop()
+
+    case "suggest" :: indexDir :: prefix :: Nil =>
+      val spark = session()
+      searcher(spark, indexDir).suggest(prefix).foreach(println)
+      spark.stop()
+
+    case "histogram" :: indexDir :: rest =>
+      val spark = session()
+      import org.apache.spark.sql.functions._
+      val n = rest.headOption.map(_.toInt).getOrElse(20)
+      searcher(spark, indexDir).termStats.toDF()
+        .orderBy(desc("cf"), col("term")).limit(n)
+        .collect().foreach(r => println(f"  ${r.getString(0)}%-24s cf=${r.getLong(2)} df=${r.getLong(1)}"))
+      spark.stop()
+
+    case "serve" :: indexDir :: rest =>
+      val spark = session()
+      val port = rest.headOption.map(_.toInt).getOrElse(9001)
+      Server.serve(searcher(spark, indexDir), port, block = true)
+
+    case _ =>
+      System.err.println(
+        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | query <indexDir> <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | serve <indexDir> [port]")
+      sys.exit(2)
+  }
+
+  private def searcher(spark: SparkSession, indexDir: String): SparkSearcher =
+    new SparkSearcher(spark, indexDir, Analyzer())
+}

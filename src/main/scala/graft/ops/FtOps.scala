@@ -27,7 +27,7 @@ object FtOps {
   def searcherFor(spark: SparkSession, sfDir: String): SparkSearcher =
     cache.computeIfAbsent(sfDir, { _ =>
       val indexDir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-ftidx-" +
+        sys.props("java.io.tmpdir"), "graft-ftidx-v2-" +
           java.security.MessageDigest.getInstance("MD5")
             .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)).toString
       val pages = spark.read.parquet(s"$sfDir/documents.parquet")

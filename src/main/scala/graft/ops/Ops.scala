@@ -405,10 +405,47 @@ object Ops {
            |JOIN customer ON o_custkey = c_custkey
            |ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin))
 
+  // ---------- multimodal plumbing (opaque binary + stubbed decode) ----------
+
+  /** Treats a binary payload column as opaque media and runs a typed
+    * mapPartitions "decode" stage — the Spark-side plumbing (schema, batch
+    * iteration, partitioning) is real; the decoder itself is a
+    * deterministic STUB (no image/audio libs in this sandbox): it derives
+    * fake dimensions from the payload hash. Swap `stubDecode` for a real
+    * codec to get image/audio feature extraction at scale. */
+  val mmBinaryMeta = Op("mm_binary_meta",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      val decoded = payloads.mapPartitions { batch =>
+        // === stubbed media decode (would be e.g. JPEG/PNG decode) ===
+        def stubDecode(bytes: Array[Byte]): (Int, Int) = {
+          val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          (1 + ((h(0) & 0xFF) % 64), 1 + ((h(1) & 0xFF) % 64))
+        }
+        batch.map { case (id, bytes) =>
+          val (w, h) = stubDecode(bytes)
+          val fp = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .take(4).map("%02x".format(_)).mkString
+          (id, bytes.length.toLong, w, h, fp)
+        }
+      }
+      decoded.toDF("doc_id", "n_bytes", "width", "height", "magic")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  octet_length(text::BLOB) AS n_bytes,
+           |  1 + (('0x' || substr(md5(text), 1, 2))::INT % 64) AS width,
+           |  1 + (('0x' || substr(md5(text), 3, 2))::INT % 64) AS height,
+           |  substr(md5(text), 1, 8) AS magic
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Op] = Seq(
     tokenCount, qualityScore, langId, fingerprint,
     dedupExact, minhashSig, minhashPairs, simhash, ngramJaccard,
     annBrute, annLsh,
     eventsHourly, sessionize,
-    q1Agg, q3Join, topCustomers)
+    q1Agg, q3Join, topCustomers, mmBinaryMeta)
 }

@@ -17,11 +17,13 @@ import scala.collection.mutable.ArrayBuffer
   *   2. `docmeta`: per-doc page boundaries + BM25 doc length (cheap token
   *      count) → Parquet; global N and avgdl aggregate.
   *   3. `postings`: per-doc tokenize → map-side combined (term,doc) rows →
-  *      `repartition(term, bucket)` (bucket = docId >> 16 — the salted
-  *      repartition that defuses hot-term skew, since one term's postings
-  *      shard across buckets with disjoint ascending docId ranges) →
-  *      `sortWithinPartitions` → streaming run-length block encoder →
-  *      Parquet sorted by term within files (row-group pruning on term).
+  *      document-sharded `repartition(bucket)` (bucket = docId >> bits;
+  *      hot terms shard across buckets with disjoint ascending docId
+  *      ranges — the salting the north rule names — while every term of a
+  *      document stays co-located so query evaluation never shuffles) →
+  *      `sortWithinPartitions(term, bucket, docId)` → streaming run
+  *      block encoder → Parquet term-sorted within files (row-group
+  *      pruning on term).
   *   4. `termstats`: tiny agg over block metadata → Parquet.
   *
   * Design notes for 10^12 docs: no driver-side collection of corpus data;
@@ -36,13 +38,23 @@ object IndexBuilder {
       stopWords: Set[String] = Set.empty,
       sourceName: String = "web",
       includeHeaders: Boolean = true,
-      stemming: Boolean = true)
+      stemming: Boolean = true,
+      pageSize: Int = 0)
 
   final case class BuildStats(
       nDocs: Long,
       avgdl: Double,
       totalPostings: Long,
       resumedStages: Seq[String])
+
+  /** body → pages: single page "1" for web docs (IndexPagedTextFile,
+    * DataSources.cs:99-108) or fixed-size chunks like the reference's text
+    * files (PAGE_SIZE=3000, DataSources.cs:308) when pageSize > 0. */
+  def pagesOf(body: String, pageSize: Int): Seq[(String, String)] =
+    if (pageSize <= 0 || body.length <= pageSize) Seq(("1", body))
+    else (0 until (body.length + pageSize - 1) / pageSize).map { i =>
+      ((i + 1).toString, body.substring(i * pageSize, math.min(body.length, (i + 1) * pageSize)))
+    }
 
   def analyzerFor(cfg: BuildConfig): Analyzer =
     Analyzer(stopWords = cfg.stopWords, enableStemming = cfg.stemming)
@@ -125,11 +137,12 @@ object IndexBuilder {
     if (IndexStore.stageDone(indexDir, "docmeta", sig)) resumed += "docmeta"
     else {
       val bc = spark.sparkContext.broadcast(an)
+      val psz = cfg.pageSize
       val docMeta = docText.mapPartitions { it =>
         val a = bc.value
         val cache = new DocTokenizer.CodeCache(a)
         it.map { d =>
-          val di = DocTokenizer.indexGrouped(a, d.header, Seq(("1", d.body)), cache)
+          val di = DocTokenizer.indexGrouped(a, d.header, pagesOf(d.body, psz), cache)
           DocMetaRow(d.docId, d.name, di.pageIds.toSeq, di.pageEnds.toSeq, di.docLen)
         }
       }
@@ -149,11 +162,12 @@ object IndexBuilder {
     else {
       val bc = spark.sparkContext.broadcast(an)
       val bits = cfg.bucketBits
+      val psz = cfg.pageSize
       val termDocs: Dataset[TermDocRow] = docText.mapPartitions { it =>
         val a = bc.value
         val cache = new DocTokenizer.CodeCache(a)
         it.flatMap { d =>
-          val di = DocTokenizer.indexGrouped(a, d.header, Seq(("1", d.body)), cache)
+          val di = DocTokenizer.indexGrouped(a, d.header, pagesOf(d.body, psz), cache)
           // map-side combine: group this doc's postings per term
           val byTerm = new java.util.HashMap[String, graft.core.LongVec]()
           var i = 0
@@ -222,7 +236,7 @@ object IndexBuilder {
   }
 
   /** Streaming (term,bucket)-run block encoder over sorted TermDocRows. */
-  private def encodeBlocks(it: Iterator[TermDocRow], avgdl: Double): Iterator[PostingBlockRow] =
+  def encodeBlocks(it: Iterator[TermDocRow], avgdl: Double): Iterator[PostingBlockRow] =
     new Iterator[PostingBlockRow] {
       private val buf = it.buffered
       def hasNext: Boolean = buf.hasNext
@@ -237,6 +251,8 @@ object IndexBuilder {
         pos ++= head.coords
         var nPostings = head.tf.toLong
         var maxTfNorm = graft.query.Ranker.bm25TfNorm(head.tf.toLong, head.dl, avgdl)
+        var maxTf = head.tf.toLong
+        var minDl = head.dl
         while (buf.hasNext && buf.head.term == term && buf.head.bucket == bucket) {
           val r = buf.next()
           docIds += r.docId
@@ -244,12 +260,16 @@ object IndexBuilder {
           dls += r.dl
           pos ++= r.coords
           nPostings += r.tf
+          if (r.tf > maxTf) maxTf = r.tf
+          if (r.dl < minDl) minDl = r.dl
           val tn = graft.query.Ranker.bm25TfNorm(r.tf.toLong, r.dl, avgdl)
           if (tn > maxTfNorm) maxTfNorm = tn
         }
+        // maxTf/minDl give an avgdl-independent upper bound for block-max
+        // WAND that stays valid when incremental appends drift avgdl
         PostingBlockRow(term, bucket, docIds(0), docIds.length, nPostings,
           Varint.encode(docIds.toArray), Varint.encodeRaw(tfs.toArray),
-          Varint.encodeRaw(dls.toArray), pos.toArray, maxTfNorm)
+          Varint.encodeRaw(dls.toArray), pos.toArray, maxTfNorm, maxTf, minDl)
       }
     }
 

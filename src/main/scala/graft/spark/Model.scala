@@ -53,7 +53,9 @@ final case class PostingBlockRow(
     tfs: Array[Byte],
     dls: Array[Byte],
     posDeltas: Array[Byte],
-    maxTfNorm: Double)
+    maxTfNorm: Double,
+    maxTf: Long,
+    minDl: Long)
 
 /** Term dictionary entry (df = doc freq, cf = collection freq). */
 final case class TermStatRow(term: String, df: Long, cf: Long)

@@ -291,14 +291,17 @@ final class SparkSearcher(
     val dfs = dfOf(codes)
     val idf = codes.map(c => c -> Ranker.bm25Idf(nDocs, dfs.getOrElse(c, 0L))).toMap
 
-    // bucket upper bounds from block metadata only (columns pruned)
+    // bucket upper bounds from block metadata only (columns pruned);
+    // bound recomputed from (maxTf, minDl) with the CURRENT avgdl so it
+    // stays an upper bound even after incremental appends drift avgdl
     val meta = postings.filter($"term".isin(codes: _*))
-      .select($"term", $"bucket", $"nDocs", $"maxTfNorm")
-      .as[(String, Int, Int, Double)].collect()
+      .select($"term", $"bucket", $"nDocs", $"maxTf", $"minDl")
+      .as[(String, Int, Int, Long, Long)].collect()
     val ub = mutable.HashMap.empty[Int, Double]
     val bucketDocs = mutable.HashMap.empty[Int, Long]
-    meta.foreach { case (t, b, nd, mx) =>
-      ub(b) = ub.getOrElse(b, 0.0) + idf(t) * mx
+    meta.foreach { case (t, b, nd, mtf, mdl) =>
+      val bound = Ranker.bm25TfNorm(mtf, mdl, avgdl)
+      ub(b) = ub.getOrElse(b, 0.0) + idf(t) * bound
       bucketDocs(b) = bucketDocs.getOrElse(b, 0L) + nd
     }
     val ordered = ub.toSeq.sortBy(-_._2)

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import graft.core.{Consts, DocTokenizer, Varint}
+import graft.spark._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental / streaming index ingestion.
+  *
+  * The reference is batch-only (SURVEY §2.9) — its closest notion is
+  * re-running CreateAsync over new sources. Here new pages arrive as a
+  * Structured Streaming source; every micro-batch appends a self-contained
+  * index delta (the same doc-sharded posting-block layout) and commits a
+  * new snapshot version:
+  *
+  *  - docIds continue from the snapshot's `nextDocId` (deterministic:
+  *    url-sorted within the batch);
+  *  - postings/docmeta/doctext Parquet files are APPENDED — a batch's docs
+  *    are fully contained in its own files, so the doc-sharded invariant
+  *    (a doc's terms co-located in one file) holds and the query side needs
+  *    no changes;
+  *  - N/avgdl/totalPostings are maintained incrementally in the snapshot;
+  *    block-max bounds stay valid under avgdl drift because WAND recomputes
+  *    them from the stored (maxTf, minDl);
+  *  - exactly-once: the streaming checkpoint replays an uncommitted batch;
+  *    appendBatch is keyed by batchId in the snapshot (skip if committed).
+  */
+object StreamingIndexer {
+
+  /** Append one batch of pages to an existing (or empty) index. Returns the
+    * number of documents added. Also usable for non-streaming incremental
+    * builds. */
+  def appendBatch(spark: SparkSession, pages: DataFrame, indexDir: String,
+                  cfg: IndexBuilder.BuildConfig, batchId: Long): Long = {
+    import spark.implicits._
+
+    val committed = IndexStore.readStageDetail(indexDir, "stream", "lastBatchId").map(_.toLong)
+    if (committed.exists(_ >= batchId)) return 0L // replayed batch: already in
+
+    val nextDocId = IndexStore.readStageDetail(indexDir, "stream", "nextDocId")
+      .map(_.toLong).getOrElse(0L)
+    val prevDocs = IndexStore.readStageDetail(indexDir, "stream", "nDocs").map(_.toLong).getOrElse(0L)
+    val prevDl = IndexStore.readStageDetail(indexDir, "stream", "sumDl").map(_.toLong).getOrElse(0L)
+    val prevPostings = IndexStore.readStageDetail(indexDir, "stream", "totalPostings").map(_.toLong).getOrElse(0L)
+
+    val an = IndexBuilder.analyzerFor(cfg)
+    val src = cfg.sourceName
+    val inc = cfg.includeHeaders
+    val psz = cfg.pageSize
+    val bits = cfg.bucketBits
+
+    val in = pages.select($"url", $"html", $"text").as[(String, Array[Byte], String)]
+    val sorted = in.repartitionByRange($"url".asc).sortWithinPartitions($"url".asc)
+    val docText: Dataset[DocTextRow] = sorted.rdd.zipWithIndex().mapPartitions { it =>
+      it.flatMap { case ((url, html, text), i) =>
+        val ex =
+          if (text != null && text.nonEmpty) graft.text.HtmlExtract.Extracted(text, "", "")
+          else if (html != null) graft.text.HtmlExtract.extract(html)
+          else graft.text.HtmlExtract.Extracted("", "", "")
+        if (ex.text.isEmpty) None
+        else {
+          val hdr = if (inc) ex.headers(url, src) else ""
+          Some(DocTextRow(nextDocId + i, src + Consts.DocSep + url, hdr, ex.text))
+        }
+      }
+    }.toDS()
+    docText.write.mode("append").parquet(s"$indexDir/doctext")
+
+    // read back just this batch's docs (docId >= nextDocId) for the passes
+    val batchText = spark.read.parquet(s"$indexDir/doctext")
+      .as[DocTextRow].filter(_.docId >= nextDocId)
+
+    val bc = spark.sparkContext.broadcast(an)
+    val docMeta = batchText.mapPartitions { it =>
+      val a = bc.value
+      val cache = new DocTokenizer.CodeCache(a)
+      it.map { d =>
+        val di = DocTokenizer.indexGrouped(a, d.header, IndexBuilder.pagesOf(d.body, psz), cache)
+        DocMetaRow(d.docId, d.name, di.pageIds.toSeq, di.pageEnds.toSeq, di.docLen)
+      }
+    }
+    docMeta.write.mode("append").parquet(s"$indexDir/docmeta")
+    val agg = spark.read.parquet(s"$indexDir/docmeta")
+      .filter($"docId" >= nextDocId)
+      .agg(count(lit(1)), coalesce(sum($"docLen"), lit(0L)), coalesce(max($"docId"), lit(nextDocId - 1)))
+      .head()
+    val batchDocs = agg.getLong(0)
+    val batchDl = agg.getLong(1)
+    val maxDocId = agg.getLong(2)
+
+    val nDocs = prevDocs + batchDocs
+    val sumDl = prevDl + batchDl
+    val avgdl = if (nDocs == 0) 1.0 else sumDl.toDouble / nDocs
+
+    val termDocs: Dataset[TermDocRow] = batchText.mapPartitions { it =>
+      val a = bc.value
+      val cache = new DocTokenizer.CodeCache(a)
+      it.flatMap { d =>
+        val di = DocTokenizer.indexGrouped(a, d.header, IndexBuilder.pagesOf(d.body, psz), cache)
+        val byTerm = new java.util.HashMap[String, graft.core.LongVec]()
+        var i = 0
+        while (i < di.terms.length) {
+          var v = byTerm.get(di.terms(i))
+          if (v == null) { v = new graft.core.LongVec(8); byTerm.put(di.terms(i), v) }
+          v += di.coords(i)
+          i += 1
+        }
+        val bucket = (d.docId >> bits).toInt
+        import scala.jdk.CollectionConverters._
+        byTerm.entrySet().iterator().asScala.map { e =>
+          val arr = e.getValue.toArray
+          TermDocRow(e.getKey, bucket, d.docId, arr.length, di.docLen, Varint.encode(arr))
+        }
+      }
+    }
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val blocks = termDocs
+      .repartition(shufflePartitions, $"bucket")
+      .sortWithinPartitions($"term", $"bucket", $"docId")
+      .mapPartitions(IndexBuilder.encodeBlocks(_, avgdl))
+    blocks.write.mode("append").parquet(s"$indexDir/postings")
+
+    // term dictionary: full recompute from block metadata (tiny agg)
+    spark.read.parquet(s"$indexDir/postings")
+      .groupBy($"term")
+      .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
+      .repartition(1).sortWithinPartitions($"term")
+      .write.mode("overwrite").parquet(s"$indexDir/termstats")
+
+    val batchPostings = spark.read.parquet(s"$indexDir/postings")
+      .agg(coalesce(sum($"nPostings"), lit(0L))).head().getLong(0)
+
+    IndexStore.commitStage(indexDir, IndexStore.StageRecord(
+      "stream", s"batch-$batchId", batchDocs, 0L,
+      Map("lastBatchId" -> batchId.toString,
+        "nextDocId" -> (maxDocId + 1).toString,
+        "nDocs" -> nDocs.toString,
+        "sumDl" -> sumDl.toString,
+        "totalPostings" -> batchPostings.toString)))
+    val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
+    IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
+      version, nDocs, avgdl, batchPostings,
+      Seq(IndexStore.StageRecord("stream", s"batch-$batchId", batchDocs, 0L, Map.empty))))
+    batchDocs
+  }
+
+  /** Structured Streaming ingestion: pages stream → foreachBatch appends.
+    * Watermark-free (append-only corpus); the checkpoint gives exactly-once
+    * with appendBatch's batchId dedup. */
+  def ingest(pagesStream: DataFrame, indexDir: String,
+             cfg: IndexBuilder.BuildConfig, checkpointDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    pagesStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val n = appendBatch(batch.sparkSession, batch.toDF(), indexDir, cfg, batchId)
+        System.err.println(s"[graft-stream] batch $batchId appended $n docs")
+        ()
+      }
+      .start()
+  }
+}

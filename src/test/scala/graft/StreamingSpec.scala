@@ -1,0 +1,92 @@
+package graft
+
+import graft.mem.MemIndex
+import graft.query.SearchOptions
+import graft.spark.{IndexBuilder, IndexStore, SparkSearcher}
+import graft.streaming.StreamingIndexer
+import graft.text.{Analyzer, HtmlExtract}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental ingestion: file-source Structured Streaming batches append
+  * index deltas; results after each commit equal a from-scratch reference
+  * engine over the union of all ingested docs; replayed batches dedup.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming batches append; queries match reference over the union") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val srcDir = s"$tmp/in"
+    val indexDir = s"$tmp/idx"
+    val ckpt = s"$tmp/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val cfg = IndexBuilder.BuildConfig(bucketBits = 4)
+
+    import org.apache.spark.sql.functions.col
+    // flat parquet files in srcDir (the file streaming source lists a dir)
+    def writeBatch(ids: Range, sub: String): Unit = {
+      val stage = s"$tmp/stage-$sub"
+      graft.fixtures.PagesGen.pages(spark, ids.end, parts = 2)
+        .filter(col("url").isin(ids.map(i => graft.fixtures.PagesGen.urlFor(i.toLong)): _*))
+        .write.parquet(stage)
+      new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(srcDir, s"$sub-$i.parquet"))
+        }
+    }
+    writeBatch(0 until 40, "b0")
+
+    val schema = graft.fixtures.PagesGen.pages(spark, 1, parts = 1).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = StreamingIndexer.ingest(stream, indexDir, cfg, ckpt)
+      q.awaitTermination()
+    }
+    runOnce()
+
+    val mem = new MemIndex(Analyzer())
+    def memAdd(ids: Range): Unit =
+      ids.map(i => (graft.fixtures.PagesGen.urlFor(i.toLong), graft.fixtures.PagesGen.htmlFor(i.toLong)))
+        .sortBy(_._1).foreach { case (url, html) =>
+          val ex = HtmlExtract.extract(html)
+          if (ex.text.nonEmpty) mem.addDoc("web:" + url, ex.headers(url, "web"), Seq(("1", ex.text)))
+        }
+    memAdd(0 until 40)
+
+    def check(tag: String): Unit = {
+      val sr = new SparkSearcher(spark, indexDir, Analyzer())
+      assert(sr.nDocs == mem.nDocs, s"$tag nDocs")
+      assert(math.abs(sr.avgdl - mem.avgdl) < 1e-9, s"$tag avgdl")
+      Seq("old", "\"old lady\"", "running ladies").foreach { q =>
+        val a = mem.search(q, SearchOptions(dist = 40))
+        val b = sr.search(q, SearchOptions(dist = 40))
+        assert(a.docs.map(_.docId) == b.docs.map(_.docId), s"$tag [$q] docs")
+        assert(a.docs.map(_.bm25) == b.docs.map(_.bm25), s"$tag [$q] bm25")
+      }
+      val bq = Seq("running", "merriment")
+      assert(sr.bm25TopK(bq, 5) == mem.bm25TopK(bq, 5), s"$tag wand topk")
+    }
+    check("after-batch-0")
+
+    // second batch of NEW docs arrives; stream picks up only the delta
+    writeBatch(40 until 70, "b1")
+    runOnce()
+    memAdd(40 until 70)
+    check("after-batch-1")
+
+    // replaying an already-committed batchId is a no-op
+    val before = IndexStore.readSnapshot(indexDir).get
+    val n = StreamingIndexer.appendBatch(spark,
+      graft.fixtures.PagesGen.pages(spark, 10, parts = 1).toDF(), indexDir, cfg, batchId = 0L)
+    assert(n == 0L, "replayed batch must dedup")
+    assert(IndexStore.readSnapshot(indexDir).get.nDocs == before.nDocs)
+  }
+}

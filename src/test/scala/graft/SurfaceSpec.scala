@@ -1,0 +1,122 @@
+package graft
+
+import graft.mem.MemIndex
+import graft.query.SearchOptions
+import graft.spark.{IndexBuilder, SparkSearcher}
+import graft.text.{Analyzer, RussianStemmer, Vocab}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** API-surface coverage: REST server, page chunking parity, reference .voc
+  * loading, Russian stemmer, plan quality (pushdown), skew sharding.
+  */
+class SurfaceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val pickwick: String = graft.fixtures.PagesGen.pickwick
+
+  test("russian stemmer: suffix stripping and consistency") {
+    assert(RussianStemmer.stem("красивый") == "красив")
+    assert(RussianStemmer.stem("книги") == "книг")
+    assert(RussianStemmer.stem("книга") == "книг")
+    assert(RussianStemmer.stem("авиация") == "авиац")
+    // inflections of one lemma share a stem
+    assert(RussianStemmer.stem("программы") == RussianStemmer.stem("программа"))
+    // analyzer routes а-яё words to the ru stemmer
+    val an = Analyzer()
+    assert(an.wordCodes("книги") == Seq("книги", "$книг"))
+  }
+
+  test("reference .voc binary loads and drives #group codes") {
+    val in = new java.io.FileInputStream("/root/reference/Dict/en.voc")
+    val voc = try Vocab.loadDocodo(in, "en") finally in.close()
+    assert(voc.entries.nonEmpty, "en.voc entries")
+    // pick an entry and verify a word stemming to it gets its group code
+    val (stemmed, group) = voc.entries.find(e => e._2 != 0 && e._1.forall(_.isLetter)).get
+    val an = Analyzer(vocabs = Seq(voc))
+    val codes = an.wordCodes(stemmed)
+    assert(codes.contains(f"#${group & 0xFFFFFF}%X"), s"codes for $stemmed: $codes group=$group")
+  }
+
+  test("page chunking (3000 chars) matches the in-memory engine") {
+    val dir = java.nio.file.Files.createTempDirectory("graftchunk").toString
+    import spark.implicits._
+    val n = 12
+    val pages = (0 until n).map { i =>
+      (f"doc://$i%04d", null.asInstanceOf[java.sql.Timestamp],
+        null.asInstanceOf[Array[Byte]], pickwick + " " + pickwick, "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+    IndexBuilder.build(spark, pages, dir,
+      IndexBuilder.BuildConfig(bucketBits = 3, pageSize = 3000))
+    val sr = new SparkSearcher(spark, dir, Analyzer())
+
+    val mem = new MemIndex(Analyzer())
+    (0 until n).foreach { i =>
+      val url = f"doc://$i%04d"
+      val body = pickwick + " " + pickwick
+      mem.addDoc("web:" + url,
+        graft.text.HtmlExtract.Extracted(body, "", "").headers(url, "web"),
+        IndexBuilder.pagesOf(body, 3000))
+    }
+    Seq("old", "\"old lady\"", "lady old").foreach { q =>
+      val a = mem.search(q, SearchOptions(dist = 40))
+      val b = sr.search(q, SearchOptions(dist = 40))
+      assert(a.docs.map(_.docId) == b.docs.map(_.docId), s"[$q] docs")
+      assert(a.docs.flatMap(_.pages.map(p => (p.pageId, p.pos.toSeq))) ==
+        b.docs.flatMap(_.pages.map(p => (p.pageId, p.pos.toSeq))), s"[$q] pages")
+      // multi-page docs actually produced
+      assert(b.docs.forall(_.pages.map(_.pageId).distinct.size > 1), s"[$q] chunked")
+    }
+  }
+
+  test("REST server: /search and /suggest answer over HTTP") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsrv").toString
+    val pages = graft.fixtures.PagesGen.pages(spark, 40, parts = 2)
+    IndexBuilder.build(spark, pages.toDF(), dir, IndexBuilder.BuildConfig(bucketBits = 3))
+    val sr = new SparkSearcher(spark, dir, Analyzer())
+    val server = Server.serve(sr, 0, block = false) // port 0 = ephemeral
+    try {
+      val port = server.getAddress.getPort
+      def get(path: String): String = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port$path").openConnection()
+        scala.io.Source.fromInputStream(c.getInputStream, "UTF-8").mkString
+      }
+      val res = get("/search?req=" + java.net.URLEncoder.encode("\"old lady\"", "UTF-8") + "&dist=40")
+      assert(res.contains("\"found\":") && !res.contains("\"found\": 0"), res.take(200))
+      assert(res.contains("ˋoldˊ"), "snippet highlight in JSON")
+      val sug = get("/suggest?req=lad")
+      assert(sug.startsWith("[") , sug.take(100))
+      val err = get("/search?nope=1")
+      assert(err.contains("error"), err)
+    } finally server.stop(0)
+  }
+
+  test("plan quality: term filter pushed to the postings scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graftplan").toString
+    val pages = graft.fixtures.PagesGen.pages(spark, 40, parts = 2)
+    IndexBuilder.build(spark, pages.toDF(), dir, IndexBuilder.BuildConfig(bucketBits = 3))
+    import spark.implicits._
+    val plan = spark.read.parquet(s"$dir/postings")
+      .filter($"term".isin("old", "lady"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("term"), plan.take(500))
+  }
+
+  test("hot-term skew: postings of a hot term shard across buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graftskew").toString
+    val pages = graft.fixtures.PagesGen.pages(spark, 300, parts = 4)
+    IndexBuilder.build(spark, pages.toDF(), dir, IndexBuilder.BuildConfig(bucketBits = 5))
+    import spark.implicits._
+    val blocks = spark.read.parquet(s"$dir/postings")
+      .filter($"term" === "running") // hottest zipf word (vocab rank 0)
+      .select($"bucket", $"nDocs").as[(Int, Int)].collect()
+    assert(blocks.length > 4, s"hot term in ${blocks.length} buckets")
+    // no block exceeds its docId-range bucket capacity
+    assert(blocks.forall(_._2 <= 32), "block bounded by bucket size")
+  }
+}
