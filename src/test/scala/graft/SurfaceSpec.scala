@@ -107,6 +107,30 @@ class SurfaceSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("term"), plan.take(500))
   }
 
+  test("close words: levenshtein neighbors surface the typo target") {
+    val mem = new MemIndex(Analyzer())
+    mem.addDoc("Test:T", "", Seq(("1", pickwick)))
+    assert(mem.closeWords("lafy").contains("lady"))
+    assert(mem.closeWords("tupmen").contains("tupman"))
+  }
+
+  test("compression: posting payloads beat 8-byte raw coords (≙ MemUseTest)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcomp").toString
+    val pages = graft.fixtures.PagesGen.pages(spark, 1000, parts = 2)
+    val stats = IndexBuilder.build(spark, pages.toDF(), dir, IndexBuilder.BuildConfig(bucketBits = 7))
+    def bytesOf(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length() else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val payload = bytesOf(s"$dir/postings")
+    assert(payload < stats.totalPostings * 8, s"postings $payload bytes for ${stats.totalPostings} postings")
+    // varint-delta char-offset positions + per-(term,doc) tf/dl/docId land
+    // around 4-5 B/posting at this block granularity (positions are CHAR
+    // offsets, so gaps span two 15-bit units for rare terms)
+    assert(payload.toDouble / stats.totalPostings < 6.0, s"${payload.toDouble / stats.totalPostings} B/posting")
+  }
+
   test("hot-term skew: postings of a hot term shard across buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graftskew").toString
     val pages = graft.fixtures.PagesGen.pages(spark, 300, parts = 4)
