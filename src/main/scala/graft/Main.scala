@@ -45,6 +45,12 @@ object Main {
           finally src.close()
           r = t
         case "--page-size" :: n :: t => cfg = cfg.copy(pageSize = n.toInt); r = t
+        case "--voc" :: f :: t =>
+          val name = new java.io.File(f).getName.split("\\.")(0)
+          val in = new java.io.FileInputStream(f)
+          try cfg = cfg.copy(vocabs = cfg.vocabs :+ graft.text.Vocab.loadDocodo(in, name))
+          finally in.close()
+          r = t
         case "--bucket-bits" :: n :: t => cfg = cfg.copy(bucketBits = n.toInt); r = t
         case other :: t => System.err.println(s"unknown option $other"); r = t
         case Nil => ()
@@ -95,5 +101,5 @@ object Main {
   }
 
   private def searcher(spark: SparkSession, indexDir: String): SparkSearcher =
-    new SparkSearcher(spark, indexDir, Analyzer())
+    SparkSearcher.open(spark, indexDir)
 }

@@ -39,7 +39,8 @@ object IndexBuilder {
       sourceName: String = "web",
       includeHeaders: Boolean = true,
       stemming: Boolean = true,
-      pageSize: Int = 0)
+      pageSize: Int = 0,
+      vocabs: Seq[graft.text.Vocab] = Nil)
 
   final case class BuildStats(
       nDocs: Long,
@@ -57,7 +58,7 @@ object IndexBuilder {
     }
 
   def analyzerFor(cfg: BuildConfig): Analyzer =
-    Analyzer(stopWords = cfg.stopWords, enableStemming = cfg.stemming)
+    Analyzer(stopWords = cfg.stopWords, vocabs = cfg.vocabs, enableStemming = cfg.stemming)
 
   /** Signature of the input snapshot + build config. Pins resume: a stage
     * marker only skips when both the input files and the config match. */
@@ -223,6 +224,18 @@ object IndexBuilder {
 
     mark("stage4-termstats")
     spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    // persist the analyzer configuration with the index so query-time
+    // code resolution always matches build-time tokenization (vocabs,
+    // stopwords, stemming) — loaded by SparkSearcher.open
+    locally {
+      val f = java.nio.file.Paths.get(indexDir, "analyzer.bin")
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(an)
+      oos.close()
+      java.nio.file.Files.write(f, bos.toByteArray)
+    }
+
     // ---- snapshot commit ----
     val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
     IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(

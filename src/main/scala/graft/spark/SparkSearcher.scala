@@ -21,6 +21,21 @@ import scala.collection.mutable
   *                      (two-phase exact WAND for single queries; one-pass
   *                      batch mode for throughput).
   */
+object SparkSearcher {
+  /** Open with the analyzer persisted at build time (falls back to the
+    * default analyzer for pre-analyzer.bin indexes). */
+  def open(spark: SparkSession, indexDir: String): SparkSearcher = {
+    val f = java.nio.file.Paths.get(indexDir, "analyzer.bin")
+    val an =
+      if (java.nio.file.Files.exists(f)) {
+        val ois = new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(f)))
+        try ois.readObject().asInstanceOf[Analyzer] finally ois.close()
+      } else Analyzer()
+    new SparkSearcher(spark, indexDir, an)
+  }
+}
+
 final class SparkSearcher(
     spark: SparkSession,
     indexDir: String,
@@ -59,9 +74,18 @@ final class SparkSearcher(
   @transient private lazy val docText = spark.read.parquet(s"$indexDir/doctext").as[DocTextRow]
 
   // ---- TermDict over the termstats table ----
+  // per-lookup memo: existing() and the subsequent dfOf() for the same
+  // query hit the dictionary once, not twice (driver-sequential usage)
+  @transient @volatile private var lastLookup: Map[String, Long] = Map.empty
+
   override def existing(codes: Seq[String]): Set[String] =
     if (codes.isEmpty) Set.empty
-    else termStats.filter($"term".isin(codes: _*)).select($"term").as[String].collect().toSet
+    else {
+      val got = termStats.filter($"term".isin(codes: _*))
+        .select($"term", $"df").as[(String, Long)].collect().toMap
+      lastLookup = got
+      got.keySet
+    }
 
   override def likeWords(regex: String, limit: Int): Seq[String] =
     termStats
@@ -70,10 +94,13 @@ final class SparkSearcher(
       .orderBy($"term") // UTF8_BINARY default collation = ordinal order
       .limit(limit).select($"term").as[String].collect().toSeq
 
-  def dfOf(codes: Seq[String]): Map[String, Long] =
-    if (codes.isEmpty) Map.empty
+  def dfOf(codes: Seq[String]): Map[String, Long] = {
+    if (codes.isEmpty) return Map.empty
+    val memo = lastLookup
+    if (codes.forall(memo.contains)) memo.view.filterKeys(codes.toSet).toMap
     else termStats.filter($"term".isin(codes: _*))
       .select($"term", $"df").as[(String, Long)].collect().toMap
+  }
 
   def suggest(req: String, n: Int = 10): Seq[String] = {
     if (req.length < 2) return Nil

@@ -107,6 +107,34 @@ class SurfaceSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("term"), plan.take(500))
   }
 
+  test("vocab build in the distributed engine matches the reference engine") {
+    val voc = Vocab("en", Map("and" -> 1, "old" -> 2, "ladi" -> 7, "the" -> 6), ('a', 'z'))
+    val dir = java.nio.file.Files.createTempDirectory("graftvoc").toString
+    import spark.implicits._
+    val n = 14
+    val rows = (0 until n).map(i => (f"doc://$i%04d",
+      null.asInstanceOf[java.sql.Timestamp], null.asInstanceOf[Array[Byte]], pickwick, "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    IndexBuilder.build(spark, rows, dir,
+      IndexBuilder.BuildConfig(bucketBits = 3, vocabs = Seq(voc)))
+    val sr = new SparkSearcher(spark, dir, Analyzer(vocabs = Seq(voc)))
+    val mem = new MemIndex(Analyzer(vocabs = Seq(voc)))
+    (0 until n).foreach { i =>
+      val url = f"doc://$i%04d"
+      mem.addDoc("web:" + url,
+        graft.text.HtmlExtract.Extracted(pickwick, "", "").headers(url, "web"),
+        Seq(("1", pickwick)))
+    }
+    // group postings exist and match
+    assert(sr.dfOf(Seq("#1")).getOrElse("#1", 0L) == mem.df("#1") && mem.df("#1") > 0)
+    Seq("and (tupman|old)", "lady old", "Tupman and").foreach { q =>
+      val a = mem.search(q, SearchOptions(dist = 40))
+      val b = sr.search(q, SearchOptions(dist = 40))
+      assert(a.docs.map(_.docId) == b.docs.map(_.docId), s"[$q] docs")
+      assert(a.docs.flatMap(_.pages.map(_.pos.toSeq)) == b.docs.flatMap(_.pages.map(_.pos.toSeq)), s"[$q] pos")
+    }
+  }
+
   test("close words: levenshtein neighbors surface the typo target") {
     val mem = new MemIndex(Analyzer())
     mem.addDoc("Test:T", "", Seq(("1", pickwick)))
