@@ -281,39 +281,52 @@ object Ops {
            |       FROM cos)
            |SELECT qid, rk, vec_id, cos FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
 
-  /** LSH-bucketed ANN (the scale path): 12 deterministic random hyperplanes
-    * → 12-bit bucket; search within bucket only. Rows-only check (the
-    * hyperplane PRNG is not SQL-expressible) — recall vs brute force is
-    * asserted in AnnSpec instead. */
+  /** LSH-bucketed ANN (the scale path): L=4 hash tables of 6 deterministic
+    * random hyperplanes each; candidates = vectors sharing any table bucket
+    * with the query (the standard multi-table trade-off: more tables →
+    * higher recall, smaller buckets → less work). Rows-only driver check
+    * (the hyperplane PRNG is not SQL-expressible); recall@5 vs the brute
+    * baseline is asserted in SurfaceSpec. */
   val annLsh = Op("ann_lsh_topk",
     (s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      // deterministic hyperplanes: component j of plane p = hash-based ±1
+      // sf-test embeddings are near-random (top-5 cosine ≈ 0.3), so the
+      // collision probability per bit is only ~0.62: few bits + many tables.
+      // With genuinely clustered embeddings raise bits, lower tables.
+      val nTables = 8
+      val bitsPerTable = 3
       val dim = e.select(size(col("embedding"))).head().getInt(0)
-      val planes: Array[Array[Double]] = Array.tabulate(12) { p =>
-        Array.tabulate(dim) { j =>
-          val h = scala.util.hashing.MurmurHash3.stringHash(s"plane$p|$j", 42)
-          if ((h & 1) == 0) 1.0 else -1.0
+      // deterministic hyperplanes: component j of (table t, plane p) = ±1
+      val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables) { t =>
+        Array.tabulate(bitsPerTable) { p =>
+          Array.tabulate(dim) { j =>
+            val h = scala.util.hashing.MurmurHash3.stringHash(s"t$t|p$p|$j", 42)
+            if ((h & 1) == 0) 1.0 else -1.0
+          }
         }
       }
       val planesB = s.sparkContext.broadcast(planes)
       import s.implicits._
-      val withBucket = e.as[(Long, Seq[Float])].map { case (id, v) =>
-        val ps = planesB.value
-        var bucket = 0
-        var p = 0
-        while (p < ps.length) {
-          var dot = 0.0
-          var j = 0
-          while (j < v.length) { dot += ps(p)(j) * v(j); j += 1 }
-          if (dot > 0) bucket |= (1 << p)
-          p += 1
+      val withBucket = e.as[(Long, Seq[Float])].flatMap { case (id, v) =>
+        val ts = planesB.value
+        ts.indices.map { t =>
+          var bucket = 0
+          var p = 0
+          while (p < ts(t).length) {
+            var dot = 0.0
+            var j = 0
+            while (j < v.length) { dot += ts(t)(p)(j) * v(j); j += 1 }
+            if (dot > 0) bucket |= (1 << p)
+            p += 1
+          }
+          (id, t, bucket, v)
         }
-        (id, bucket, v)
-      }.toDF("vec_id", "bucket", "embedding")
+      }.toDF("vec_id", "table", "bucket", "embedding")
       val q = withBucket.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("bucket"), col("embedding").as("qv"))
-      val cand = q.join(withBucket, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+        .select(col("vec_id").as("qid"), col("table"), col("bucket"), col("embedding").as("qv"))
+      val cand = q.join(withBucket, Seq("table", "bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("vec_id"), col("embedding")).distinct()
       val cos = cand.select(col("qid"), col("vec_id"),
         round(
           expr("aggregate(zip_with(qv, embedding, (a,b) -> cast(a as double)*cast(b as double)), 0D, (acc,x) -> acc + x)") /

@@ -135,6 +135,21 @@ class SurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN: LSH candidates recover most of the brute-force top-5") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = graft.ops.Ops.annBrute.query(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val lsh = graft.ops.Ops.annLsh.query(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val bs = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val ls = lsh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bs.map { case (q, top) =>
+      top.intersect(ls.getOrElse(q, Set.empty)).size.toDouble / top.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 $mean ($recalls)")
+  }
+
   test("close words: levenshtein neighbors surface the typo target") {
     val mem = new MemIndex(Analyzer())
     mem.addDoc("Test:T", "", Seq(("1", pickwick)))
