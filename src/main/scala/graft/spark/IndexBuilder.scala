@@ -114,9 +114,10 @@ object IndexBuilder {
         }
       }.toDS()
       docText.write.mode("overwrite").parquet(docTextPath)
-      val rows = spark.read.parquet(docTextPath).count()
+      // row count comes from the docmeta aggregate in stage 2 (same rows);
+      // avoiding a bookkeeping job here keeps the build's fixed cost down
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
-        "doctext", sig, rows, dirBytes(docTextPath), Map("path" -> docTextPath)))
+        "doctext", sig, -1L, dirBytes(docTextPath), Map("path" -> docTextPath)))
     }
 
     mark("stage1-doctext")
@@ -219,7 +220,7 @@ object IndexBuilder {
         .repartition(1).sortWithinPartitions($"term")
         .write.mode("overwrite").parquet(termStatsPath)
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
-        "termstats", sig, spark.read.parquet(termStatsPath).count(), dirBytes(termStatsPath), Map.empty))
+        "termstats", sig, -1L, dirBytes(termStatsPath), Map.empty))
     }
 
     mark("stage4-termstats")
