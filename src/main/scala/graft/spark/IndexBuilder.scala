@@ -215,6 +215,7 @@ object IndexBuilder {
     if (IndexStore.stageDone(indexDir, "termstats", sig)) resumed += "termstats"
     else {
       spark.read.parquet(postingsPath)
+        .filter($"term" =!= DlStripTerm)
         .groupBy($"term")
         .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
         .repartition(1).sortWithinPartitions($"term")
@@ -249,9 +250,18 @@ object IndexBuilder {
     BuildStats(nDocs, avgdl, totalPostings, resumed.toSeq)
   }
 
-  /** Streaming (term,bucket)-run block encoder over sorted TermDocRows. */
-  def encodeBlocks(it: Iterator[TermDocRow], avgdl: Double): Iterator[PostingBlockRow] =
-    new Iterator[PostingBlockRow] {
+  /** Sentinel "term" of per-bucket document-length strips: each bucket gets
+    * one row mapping its docIds → dl, instead of repeating dl in every
+    * (term,doc) entry (≈2 bytes/termdoc saved). Sorts before all real terms
+    * (\u0000 prefix) and is excluded from termstats. */
+  val DlStripTerm = "\u0000dl"
+
+  /** Streaming (term,bucket)-run block encoder over sorted TermDocRows.
+    * Also collects each bucket's docId→dl map and emits one dl-strip row
+    * per bucket after the posting blocks. */
+  def encodeBlocks(it: Iterator[TermDocRow], avgdl: Double): Iterator[PostingBlockRow] = {
+    val dlByBucket = new java.util.HashMap[Int, java.util.TreeMap[java.lang.Long, java.lang.Long]]()
+    val main: Iterator[PostingBlockRow] = new Iterator[PostingBlockRow] {
       private val buf = it.buffered
       def hasNext: Boolean = buf.hasNext
       def next(): PostingBlockRow = {
@@ -279,13 +289,30 @@ object IndexBuilder {
           val tn = graft.query.Ranker.bm25TfNorm(r.tf.toLong, r.dl, avgdl)
           if (tn > maxTfNorm) maxTfNorm = tn
         }
+        // record docId→dl once per bucket (strip row emitted at the end)
+        var bm = dlByBucket.get(bucket)
+        if (bm == null) { bm = new java.util.TreeMap(); dlByBucket.put(bucket, bm) }
+        var di = 0
+        while (di < docIds.length) { bm.put(docIds(di), dls(di)); di += 1 }
         // maxTf/minDl give an avgdl-independent upper bound for block-max
         // WAND that stays valid when incremental appends drift avgdl
         PostingBlockRow(term, bucket, docIds(0), docIds.length, nPostings,
           Varint.encode(docIds.toArray), Varint.encodeRaw(tfs.toArray),
-          Varint.encodeRaw(dls.toArray), pos.toArray, maxTfNorm, maxTf, minDl)
+          Array.emptyByteArray, pos.toArray, maxTfNorm, maxTf, minDl)
       }
     }
+    def strips: Iterator[PostingBlockRow] = {
+      import scala.jdk.CollectionConverters._
+      dlByBucket.entrySet().iterator().asScala.map { e =>
+        val docIds = e.getValue.keySet().iterator().asScala.map(_.longValue).toArray
+        val dls = e.getValue.values().iterator().asScala.map(_.longValue).toArray
+        PostingBlockRow(DlStripTerm, e.getKey, docIds(0), docIds.length, 0L,
+          Varint.encode(docIds), Array.emptyByteArray,
+          Varint.encodeRaw(dls), Array.emptyByteArray, 0.0, 0L, 0L)
+      }
+    }
+    main ++ strips
+  }
 
   private def dirBytes(path: String): Long = {
     val d = new java.io.File(path)
@@ -298,22 +325,34 @@ object IndexBuilder {
     }
   }
 
-  /** Decode one block into (docId, tf, dl, coords) tuples. */
-  def decodeBlock(b: PostingBlockRow): Iterator[(Long, Long, Long, Array[Long])] = {
+  /** Decode one posting block into (docId, tf, coords) tuples. */
+  def decodeBlock(b: PostingBlockRow): Iterator[(Long, Long, Array[Long])] = {
     val docR = new Varint.Reader(b.docDeltas)
     val tfR = new Varint.Reader(b.tfs)
-    val dlR = new Varint.Reader(b.dls)
     val posR = new Varint.Reader(b.posDeltas)
     (0 until b.nDocs).iterator.map { _ =>
       val d = docR.next()
       val tf = tfR.nextRaw()
-      val dl = dlR.nextRaw()
       // per-doc coords: the delta chain restarts at 0 for each doc
       posR.rebase(0L)
       val coords = new Array[Long](tf.toInt)
       var i = 0
       while (i < tf) { coords(i) = posR.next(); i += 1 }
-      (d, tf, dl, coords)
+      (d, tf, coords)
     }
+  }
+
+  /** Decode only (docId, tf) — scorers never touch position bytes. */
+  def decodeDocTfs(b: PostingBlockRow): Iterator[(Long, Long)] = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val tfR = new Varint.Reader(b.tfs)
+    (0 until b.nDocs).iterator.map(_ => (docR.next(), tfR.nextRaw()))
+  }
+
+  /** Decode a dl-strip row into (docId, dl) pairs. */
+  def decodeDlStrip(b: PostingBlockRow): Iterator[(Long, Long)] = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val dlR = new Varint.Reader(b.dls)
+    (0 until b.nDocs).iterator.map(_ => (docR.next(), dlR.nextRaw()))
   }
 }

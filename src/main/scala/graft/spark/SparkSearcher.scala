@@ -147,7 +147,7 @@ final class SparkSearcher(
     val evals: Dataset[EvalRow] = blocks.mapPartitions { it =>
       val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
       it.foreach { b =>
-        IndexBuilder.decodeBlock(b).foreach { case (d, _, _, coords) =>
+        IndexBuilder.decodeBlock(b).foreach { case (d, _, coords) =>
           byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
         }
       }
@@ -274,15 +274,20 @@ final class SparkSearcher(
     val ad = avgdl
 
     // Doc-sharded layout → score locally per partition, NO shuffle: each
-    // task holds complete documents (every query term of its docs).
-    val perBucket = postings.filter($"term".isin(allCodes: _*))
+    // task holds complete documents (every query term of its docs, plus
+    // the per-bucket dl strips). Scorers decode only (docId, tf) runs —
+    // position bytes are never touched.
+    val perBucket = postings
+      .filter($"term".isin(allCodes :+ IndexBuilder.DlStripTerm: _*))
       .mapPartitions { blocks =>
-        // decode each block once: term → (docId, tfNorm) runs
-        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Double)]]
+        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Long)]]
+        val dlOf = mutable.LongMap.empty[Long]
         blocks.foreach { b =>
-          val buf = byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty)
-          IndexBuilder.decodeBlock(b).foreach { case (d, tf, dl, _) =>
-            buf += ((d, Ranker.bm25TfNorm(tf, dl, ad)))
+          if (b.term == IndexBuilder.DlStripTerm)
+            IndexBuilder.decodeDlStrip(b).foreach { case (d, dl) => dlOf(d) = dl }
+          else {
+            val buf = byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty)
+            IndexBuilder.decodeDocTfs(b).foreach(buf += _)
           }
         }
         val qs = qIdfB.value
@@ -290,8 +295,9 @@ final class SparkSearcher(
           val scores = mutable.LongMap.empty[Double]
           // codes arrive sorted (resolveQueryCodes sorts) → canonical order
           codesIdf.foreach { case (code, cIdf) =>
-            byTerm.get(code).foreach(_.foreach { case (d, tn) =>
-              scores(d) = scores.getOrElse(d, 0.0) + cIdf * tn
+            byTerm.get(code).foreach(_.foreach { case (d, tf) =>
+              scores(d) = scores.getOrElse(d, 0.0) +
+                cIdf * Ranker.bm25TfNorm(tf, dlOf.getOrElse(d, 1L), ad)
             })
           }
           topK(scores, k).map { case (d, s) => (qi, d, s) }
@@ -321,7 +327,8 @@ final class SparkSearcher(
     // bucket upper bounds from block metadata only (columns pruned);
     // bound recomputed from (maxTf, minDl) with the CURRENT avgdl so it
     // stays an upper bound even after incremental appends drift avgdl
-    val meta = postings.filter($"term".isin(codes: _*))
+    val meta = postings
+      .filter($"term".isin(codes: _*) && $"term" =!= IndexBuilder.DlStripTerm)
       .select($"term", $"bucket", $"nDocs", $"maxTf", $"minDl")
       .as[(String, Int, Int, Long, Long)].collect()
     val ub = mutable.HashMap.empty[Int, Double]
@@ -351,15 +358,21 @@ final class SparkSearcher(
     val codesIdf = codes.sorted.map(c => c -> idf(c))
     val cB = spark.sparkContext.broadcast(codesIdf)
     postings
-      .filter($"term".isin(codes: _*) && $"bucket".isin(buckets.toSeq: _*))
+      .filter($"term".isin(codes :+ IndexBuilder.DlStripTerm: _*) && $"bucket".isin(buckets.toSeq: _*))
       .mapPartitions { blocks =>
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlockRow]]
-        blocks.foreach(b => byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b)
+        val dlOf = mutable.LongMap.empty[Long]
+        blocks.foreach { b =>
+          if (b.term == IndexBuilder.DlStripTerm)
+            IndexBuilder.decodeDlStrip(b).foreach { case (d, dl) => dlOf(d) = dl }
+          else byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
+        }
         val scores = mutable.LongMap.empty[Double]
         cB.value.foreach { case (code, cIdf) =>
           byTerm.get(code).foreach(_.foreach { b =>
-            IndexBuilder.decodeBlock(b).foreach { case (d, tf, dl, _) =>
-              scores(d) = scores.getOrElse(d, 0.0) + cIdf * Ranker.bm25TfNorm(tf, dl, ad)
+            IndexBuilder.decodeDocTfs(b).foreach { case (d, tf) =>
+              scores(d) = scores.getOrElse(d, 0.0) +
+                cIdf * Ranker.bm25TfNorm(tf, dlOf.getOrElse(d, 1L), ad)
             }
           })
         }
