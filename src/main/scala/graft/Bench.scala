@@ -96,12 +96,15 @@ object Bench {
       val batchSec = (System.nanoTime() - t1) / 1e9
       require(res.count(_.nonEmpty) > nQueries / 2, "bench queries returned mostly empty")
 
-      // positional search path (parity engine), small sample
-      val searchQs = Seq("\"old lady\"", "lady old", "and (tupman|old)",
-        "w0001 w0002", "merriment laughter")
+      // positional search path (parity engine): 40 full queries in one batch
+      val searchQs = (0 until 40).map { i =>
+        val base = Seq("\"old lady\"", "lady old", "and (tupman|old)",
+          "w0001 w0002", "merriment laughter", "?ady?",
+          "game {Source=web}", "\"old (lady|ladies) (who|were|looked)\"")
+        (base(i % base.length), graft.query.SearchOptions(dist = 40))
+      }
       val t2 = System.nanoTime()
-      searchQs.foreach(q => searcher.search(q,
-        graft.query.SearchOptions(dist = 40), withWordInfo = false))
+      searcher.searchBatch(searchQs)
       val searchSec = (System.nanoTime() - t2) / 1e9
 
       System.err.println(s"[graft-timing] phase c$cpus gcMillis=${gcMillis - gc0}")
@@ -225,7 +228,8 @@ object Bench {
       s"bm25_batch_sec_c$cpus" -> f(hiRes.batchSec),
       s"bm25_qps_c$cpus" -> f(hiRes.qps),
       s"bm25_qps_c$lo" -> f(loRes.qps),
-      s"search_5q_sec_c$cpus" -> f(hiRes.searchSec),
+      s"search_40q_sec_c$cpus" -> f(hiRes.searchSec),
+      s"search_qps_c$cpus" -> f(40.0 / hiRes.searchSec),
       "scaling_efficiency_build" -> f(effBuild),
       "scaling_efficiency_query" -> f(effQuery),
       // what this host's raw threads give for the same tokenize workload —

@@ -128,6 +128,45 @@ object ResultAssembler {
     SearchOut(docHits.sortBy(_.rank).toSeq, nFoundPages, wordInfos)
   }
 
+  /** selectDocs variant where field-set membership arrives as a per-doc
+    * flag (already capped upstream at MAX_FOUND_DOCS field docs in docId
+    * order). Semantics identical: body docs cap first, intersection after. */
+  def selectDocsFlagged(
+      docsAsc: Iterator[(DocEval, Boolean)],
+      filters: Seq[String],
+      hasFields: Boolean): (ArrayBuffer[Partial], Int) = {
+    val filterPats = filters.map(f => java.util.regex.Pattern.compile(f))
+    var nFoundPages = 0
+    var nFoundDocs = 0
+    var stop = false
+    val kept = ArrayBuffer.empty[(Partial, Boolean)]
+    while (!stop && docsAsc.hasNext) {
+      val (d, inField) = docsAsc.next()
+      if (d.coords.nonEmpty) {
+        var pages = Ranker.pagesOf(d.coords, d.pageIds, d.pageEnds)
+        if (nFoundPages + pages.length > Consts.MaxFoundPages) {
+          val room = Consts.MaxFoundPages - nFoundPages + 1
+          pages = pages.take(room)
+          if (pages.nonEmpty) {
+            val last = pages.last
+            pages(pages.length - 1) = (last._1, last._2.take(1))
+          }
+          stop = true
+        }
+        nFoundPages += pages.length
+        if (nFoundDocs < Consts.MaxFoundDocs) {
+          val matched = filterPats.isEmpty || filterPats.exists(_.matcher(d.name).find())
+          if (matched) {
+            nFoundDocs += 1
+            kept += ((Partial(d, pages), inField))
+          }
+        }
+      }
+    }
+    val keptFinal = if (hasFields) kept.filter(_._2).map(_._1) else kept.map(_._1)
+    (keptFinal, nFoundPages)
+  }
+
   /** Single-pass convenience used by the in-memory engine. */
   def assemble(
       docsAsc: Iterator[DocEval],

@@ -214,6 +214,130 @@ final class SparkSearcher(
       c => dfs.getOrElse(c, 0L), nDocs, avgdl, wordInfos)
   }
 
+  /** Batched positional search: evaluates many full queries in one pass
+    * over the index — one dictionary round-trip, one eval scan (each doc
+    * shard evaluates every plan locally), one ordered pull, one text
+    * fetch. Semantics identical to `search` per query (caps, field
+    * intersection, filters, ranks, BM25). */
+  def searchBatch(reqs: Seq[(String, SearchOptions)],
+                  withWordInfo: Boolean = false): Seq[SearchOut] = {
+    import org.apache.spark.sql.expressions.Window
+    if (reqs.isEmpty) return Nil
+
+    // plan all queries with ONE existence round-trip: prefetch the union of
+    // candidate codes, then serve plan() from the map (wildcards still scan)
+    val parsedAll = reqs.map { case (r, _) => QueryParser.parse(r, analyzer.stopWords) }
+    val prelim = parsedAll.map(p => p.leaves.map(spec =>
+      QueryPlanner.chooseCodes(spec.word, spec.exact, analyzer, this)._1))
+    val fieldCodes = parsedAll.flatMap(_.leaves.flatMap(_.field))
+      .distinct.map(f => Consts.FieldNameChar.toString + f)
+    val union = (prelim.flatten.flatten ++ fieldCodes).distinct
+    val present = existing(union)
+    val presentDf = lastLookup
+    val servedDict = new TermDict {
+      override def existing(codes: Seq[String]): Set[String] = codes.filter(present).toSet
+      override def likeWords(regex: String, limit: Int): Seq[String] =
+        SparkSearcher.this.likeWords(regex, limit)
+    }
+    val plans: Seq[QueryPlan] = parsedAll.zip(reqs).map { case (p, (_, o)) =>
+      QueryPlanner.plan(p, analyzer, servedDict, o.dist)
+    }
+    val allCodes = plans.flatMap(_.allCodes).distinct
+    if (allCodes.isEmpty)
+      return plans.map(qp => SearchOut(Nil, 0, qp.leaves.map(l => WordInfo(l.word, 0L))))
+
+    val scoringPer: Seq[Array[String]] =
+      plans.map(_.leaves.filter(_.field.isEmpty).flatMap(_.codes).distinct.toArray)
+
+    val plansB = spark.sparkContext.broadcast(plans.toArray)
+    val scoringBatch = spark.sparkContext.broadcast(scoringPer.toArray)
+    val blocks = postings.filter($"term".isin(allCodes: _*))
+    val evals: Dataset[(Int, EvalRow)] = blocks.mapPartitions { it =>
+      val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
+      it.foreach { b =>
+        IndexBuilder.decodeBlock(b).foreach { case (d, _, coords) =>
+          byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+        }
+      }
+      val ps = plansB.value
+      val sc = scoringBatch.value
+      byDoc.iterator.flatMap { case (docId, m) =>
+        val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
+        ps.indices.iterator.flatMap { qi =>
+          val q = ps(qi)
+          val body = q.body.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
+          val fieldHit = q.fields.exists(a => q.evalDoc(a, get).coords.nonEmpty)
+          val coords =
+            if (q.body.isEmpty) q.fields.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
+            else body
+          if (coords.isEmpty && !fieldHit) None
+          else {
+            val leafCounts =
+              if (withWordInfo) q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
+              else Array.emptyLongArray
+            val tfs = sc(qi).map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
+            Some((qi, EvalRow(docId, coords, fieldHit, leafCounts, sc(qi), tfs)))
+          }
+        }
+      }
+    }
+
+    // field membership = fieldHit within the first 500 field docs per query
+    val w = Window.partitionBy($"_1").orderBy($"_2.docId")
+    val flagged = evals
+      .withColumn("fieldRank", sum(when($"_2.fieldHit", 1).otherwise(0)).over(w))
+      .withColumn("inField", $"_2.fieldHit" && $"fieldRank" <= Consts.MaxFoundDocs)
+      .filter($"_2.coords".isNotNull && size($"_2.coords") > 0)
+      .select($"_1".as("qi"), $"_2".as("e"), $"inField")
+      .joinWith(docMeta, $"e.docId" === docMeta("docId"))
+      .orderBy($"_1.qi", $"_1.e.docId")
+
+    // one ordered pull; per-query streaming assembly with exact caps
+    val rows = flagged.toLocalIterator()
+    val buf: BufferedIterator[(org.apache.spark.sql.Row, DocMetaRow)] =
+      new Iterator[(org.apache.spark.sql.Row, DocMetaRow)] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): (org.apache.spark.sql.Row, DocMetaRow) = rows.next()
+      }.buffered
+
+    val keptPer = plans.indices.map { qi =>
+      val hasFields = plans(qi).fields.nonEmpty && plans(qi).body.nonEmpty
+      val iter: Iterator[(ResultAssembler.DocEval, Boolean)] = new Iterator[(ResultAssembler.DocEval, Boolean)] {
+        def hasNext: Boolean = buf.hasNext && buf.head._1.getInt(0) == qi
+        def next(): (ResultAssembler.DocEval, Boolean) = {
+          val (r, md) = buf.next()
+          val e = r.getStruct(1)
+          val docId = e.getLong(0)
+          val coords = e.getSeq[Long](1).toArray
+          val codes = e.getSeq[String](4)
+          val tfs = e.getSeq[Long](5)
+          val inField = r.getBoolean(2)
+          (ResultAssembler.DocEval(docId, md.name, coords,
+            md.pageIds.toArray, md.pageEnds.toArray, md.docLen,
+            codes.zip(tfs).filter(_._2 > 0)), inField || !hasFields)
+        }
+      }
+      val (kept, nPages) = ResultAssembler.selectDocsFlagged(iter, plans(qi).filters, hasFields)
+      // drain any remaining rows of this query (past the caps)
+      while (buf.hasNext && buf.head._1.getInt(0) == qi) buf.next()
+      (kept, nPages)
+    }
+
+    // texts + enrichment, one fetch for the union of kept docs
+    val allKeptIds = keptPer.flatMap(_._1.map(_.d.docId)).distinct
+    val textMap: Map[Long, ResultAssembler.Texts] =
+      if (allKeptIds.isEmpty) Map.empty
+      else docText.filter($"docId".isin(allKeptIds: _*))
+        .collect().map(d => d.docId -> ResultAssembler.Texts(d.header, Seq(("1", d.body)))).toMap
+
+    plans.indices.map { qi =>
+      val (kept, nPages) = keptPer(qi)
+      val wi = plans(qi).leaves.map(l => WordInfo(l.word, 0L))
+      ResultAssembler.enrich(kept, nPages, textMap.get,
+        c => presentDf.getOrElse(c, 0L), nDocs, avgdl, wi)
+    }
+  }
+
   // ---------- BM25 top-k ----------
 
   private def resolveQueryCodes(words: Seq[String]): Seq[String] = {

@@ -90,6 +90,22 @@ class SparkIdentitySpec extends AnyFunSuite {
     }
   }
 
+  test("searchBatch: batched positional queries equal sequential search") {
+    val reqs = goldenQueries.take(8)
+    val batch = searcher.searchBatch(reqs)
+    reqs.zip(batch).foreach { case ((q, opt), b) =>
+      val a = searcher.search(q, opt, withWordInfo = false)
+      assert(a.nFoundPages == b.nFoundPages, s"[$q] nFoundPages")
+      assert(a.docs.map(_.docId) == b.docs.map(_.docId), s"[$q] docIds")
+      a.docs.zip(b.docs).foreach { case (da, db) =>
+        assert(da.rank == db.rank && da.bm25 == db.bm25, s"[$q] scores doc ${da.docId}")
+        assert(da.pages.map(p => (p.pageId, p.pos.toSeq)) ==
+          db.pages.map(p => (p.pageId, p.pos.toSeq)), s"[$q] pages doc ${da.docId}")
+        assert(da.pages.map(_.text) == db.pages.map(_.text), s"[$q] snippets")
+      }
+    }
+  }
+
   test("BM25 top-k identical: batch and WAND paths") {
     val queries = Seq(
       Seq("old", "lady"),
