@@ -1,7 +1,7 @@
 package graft
 
 import graft.query.SearchOptions
-import graft.spark.{IndexBuilder, SparkSearcher}
+import graft.spark.{IndexBuilder, IndexStore, SparkSearcher}
 import graft.text.Analyzer
 import org.apache.spark.sql.SparkSession
 
@@ -59,9 +59,25 @@ object Main {
       println(s"built: nDocs=${stats.nDocs} postings=${stats.totalPostings} avgdl=${stats.avgdl} resumed=${stats.resumedStages.mkString(",")}")
       spark.stop()
 
-    case "query" :: indexDir :: req =>
+    case "append" :: pages :: indexDir :: rest =>
       val spark = session()
-      val out = searcher(spark, indexDir).search(req.mkString(" "), SearchOptions(dist = 40))
+      val batchId = IndexStore.readStageDetail(indexDir, "stream", "lastBatchId")
+        .map(_.toLong + 1).getOrElse(0L)
+      val n = graft.streaming.StreamingIndexer.appendBatch(
+        spark, spark.read.parquet(pages), indexDir, IndexBuilder.BuildConfig(), batchId)
+      val v = IndexStore.currentVersion(indexDir).getOrElse(0)
+      println(s"appended: docs=$n snapshot=v$v")
+      spark.stop()
+
+    case "query" :: indexDir :: req0 =>
+      val spark = session()
+      // --at <version> pins an older snapshot (time travel)
+      val (pin, req) = req0 match {
+        case "--at" :: v :: rest => (Some(v.toInt), rest)
+        case r => (None, r)
+      }
+      val out = SparkSearcher.open(spark, indexDir, pin)
+        .search(req.mkString(" "), SearchOptions(dist = 40))
       println(s"found ${out.docs.size} docs, ${out.nFoundPages} pages")
       out.docs.foreach { d =>
         println(f"  ${d.docId}%6d rank=${d.rank}%.3f bm25=${d.bm25}%.4f ${d.name}")

@@ -87,7 +87,10 @@ object IndexBuilder {
     val docTextPath = s"$indexDir/doctext"
     val docMetaPath = s"$indexDir/docmeta"
     val postingsPath = s"$indexDir/postings"
-    val termStatsPath = s"$indexDir/termstats"
+    // termstats is versioned per snapshot commit (appends recompute it;
+    // old versions must stay readable for pinned readers)
+    val termStatsDirName = s"termstats-v${IndexStore.currentVersion(indexDir).getOrElse(0) + 1}"
+    val termStatsPath = s"$indexDir/$termStatsDirName"
 
     // ---- stage 1: doctext (extract + docId assignment) ----
     if (IndexStore.stageDone(indexDir, "doctext", sig)) resumed += "doctext"
@@ -212,17 +215,22 @@ object IndexBuilder {
     val totalPostings = IndexStore.readStageDetail(indexDir, "postings", "totalPostings").get.toLong
 
     // ---- stage 4: term dictionary from block metadata (tiny agg) ----
-    if (IndexStore.stageDone(indexDir, "termstats", sig)) resumed += "termstats"
-    else {
-      spark.read.parquet(postingsPath)
-        .filter($"term" =!= DlStripTerm)
-        .groupBy($"term")
-        .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
-        .repartition(1).sortWithinPartitions($"term")
-        .write.mode("overwrite").parquet(termStatsPath)
-      IndexStore.commitStage(indexDir, IndexStore.StageRecord(
-        "termstats", sig, -1L, dirBytes(termStatsPath), Map.empty))
-    }
+    // on resume, reuse the versioned dir the completed stage recorded
+    val termStatsDirFinal =
+      if (IndexStore.stageDone(indexDir, "termstats", sig)) {
+        resumed += "termstats"
+        IndexStore.readStageDetail(indexDir, "termstats", "dir").getOrElse(termStatsDirName)
+      } else {
+        spark.read.parquet(postingsPath)
+          .filter($"term" =!= DlStripTerm)
+          .groupBy($"term")
+          .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
+          .repartition(1).sortWithinPartitions($"term")
+          .write.mode("overwrite").parquet(termStatsPath)
+        IndexStore.commitStage(indexDir, IndexStore.StageRecord(
+          "termstats", sig, -1L, dirBytes(termStatsPath), Map("dir" -> termStatsDirName)))
+        termStatsDirName
+      }
 
     mark("stage4-termstats")
     spark.conf.unset("spark.sql.files.maxPartitionBytes")
@@ -238,14 +246,20 @@ object IndexBuilder {
       java.nio.file.Files.write(f, bos.toByteArray)
     }
 
-    // ---- snapshot commit ----
+    // ---- snapshot commit (manifest lists the exact files of each table,
+    // so readers can pin this version even after later appends) ----
     val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
     IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
       version, nDocs, avgdl, totalPostings,
       Seq("doctext", "docmeta", "postings", "termstats").map { s =>
         IndexStore.StageRecord(s, sig,
           IndexStore.readStageDetail(indexDir, s, "rows").map(_.toLong).getOrElse(0L), 0L, Map.empty)
-      }))
+      },
+      Map(
+        "doctext" -> IndexStore.listTableFiles(indexDir, "doctext"),
+        "docmeta" -> IndexStore.listTableFiles(indexDir, "docmeta"),
+        "postings" -> IndexStore.listTableFiles(indexDir, "postings"),
+        "termstats" -> IndexStore.listTableFiles(indexDir, termStatsDirFinal))))
 
     BuildStats(nDocs, avgdl, totalPostings, resumed.toSeq)
   }

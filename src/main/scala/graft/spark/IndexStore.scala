@@ -25,7 +25,8 @@ object IndexStore {
       nDocs: Long,
       avgdl: Double,
       totalPostings: Long,
-      stages: Seq[StageRecord])
+      stages: Seq[StageRecord],
+      files: Map[String, Seq[String]] = Map.empty)
 
   private def q(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
@@ -46,12 +47,16 @@ object IndexStore {
   def writeSnapshot(indexDir: String, snap: Snapshot): Unit = {
     val dir = Paths.get(indexDir)
     Files.createDirectories(dir)
+    val filesJson = snap.files.toSeq.sortBy(_._1).map { case (t, fs) =>
+      s"${q(t)}: [${fs.sorted.map(q).mkString(", ")}]"
+    }.mkString("{", ",\n    ", "}")
     val json =
       s"""{
   "version": ${snap.version},
   "nDocs": ${snap.nDocs},
   "avgdl": ${snap.avgdl},
   "totalPostings": ${snap.totalPostings},
+  "files": $filesJson,
   "stages": [${snap.stages.map(stageJson).mkString(",\n    ")}]
 }"""
     val tmp = dir.resolve(s"manifest-v${snap.version}.json.tmp")
@@ -98,16 +103,49 @@ object IndexStore {
     sb.toString
   }
 
-  def readSnapshot(indexDir: String): Option[Snapshot] = currentVersion(indexDir).map { v =>
-    val json = new String(Files.readAllBytes(Paths.get(indexDir, s"manifest-v$v.json")), StandardCharsets.UTF_8)
+  def readSnapshot(indexDir: String): Option[Snapshot] =
+    readSnapshot(indexDir, None)
+
+  /** Read a pinned snapshot version (Iceberg-style time travel); None =
+    * CURRENT. */
+  def readSnapshot(indexDir: String, version: Option[Int]): Option[Snapshot] = {
+    val vOpt = version.orElse(currentVersion(indexDir))
+    if (vOpt.isEmpty) return None
+    val v = vOpt.get
+    val mf = Paths.get(indexDir, s"manifest-v$v.json")
+    if (!Files.exists(mf)) return None
+    Some {
+    val json = new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
     // stage records are informational in the snapshot; resume reads the
     // per-stage markers, so we don't round-trip them here.
     val stages = Nil
+    // parse the files map: "table": ["f1", "f2", ...]
+    val files = {
+      val m = java.util.regex.Pattern
+        .compile("\"(doctext|docmeta|postings|termstats)\"\\s*:\\s*\\[([^\\]]*)\\]")
+        .matcher(json)
+      val out = Map.newBuilder[String, Seq[String]]
+      while (m.find()) {
+        val fs = m.group(2).split(",").map(_.trim).filter(_.length > 1)
+          .map(x => unescape(x.substring(1, x.length - 1))).toSeq
+        out += (m.group(1) -> fs)
+      }
+      out.result()
+    }
     Snapshot(v,
       field(json, "nDocs").map(_.toLong).getOrElse(0L),
       field(json, "avgdl").map(_.toDouble).getOrElse(1.0),
       field(json, "totalPostings").map(_.toLong).getOrElse(0L),
-      stages)
+      stages, files)
+    }
+  }
+
+  /** parquet files of a table directory, as indexDir-relative paths. */
+  def listTableFiles(indexDir: String, tableDir: String): Seq[String] = {
+    val d = Paths.get(indexDir, tableDir)
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).map(n => s"$tableDir/$n").toSeq.sorted
   }
 
   // ---- per-stage completion markers for resumable builds ----

@@ -24,7 +24,13 @@ import scala.collection.mutable
 object SparkSearcher {
   /** Open with the analyzer persisted at build time (falls back to the
     * default analyzer for pre-analyzer.bin indexes). */
-  def open(spark: SparkSession, indexDir: String): SparkSearcher = {
+  def open(spark: SparkSession, indexDir: String): SparkSearcher =
+    open(spark, indexDir, None)
+
+  /** Open pinned to a snapshot version (Iceberg-style time travel): the
+    * reader sees exactly the files that manifest listed, even if later
+    * streaming batches appended more. */
+  def open(spark: SparkSession, indexDir: String, version: Option[Int]): SparkSearcher = {
     val f = java.nio.file.Paths.get(indexDir, "analyzer.bin")
     val an =
       if (java.nio.file.Files.exists(f)) {
@@ -32,19 +38,29 @@ object SparkSearcher {
           new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(f)))
         try ois.readObject().asInstanceOf[Analyzer] finally ois.close()
       } else Analyzer()
-    new SparkSearcher(spark, indexDir, an)
+    new SparkSearcher(spark, indexDir, an, version)
   }
 }
 
 final class SparkSearcher(
     spark: SparkSession,
     indexDir: String,
-    val analyzer: Analyzer) extends TermDict with Serializable {
+    val analyzer: Analyzer,
+    pinnedVersion: Option[Int] = None) extends TermDict with Serializable {
 
   import spark.implicits._
 
-  @transient private val snap = IndexStore.readSnapshot(indexDir)
+  @transient private val snap = IndexStore.readSnapshot(indexDir, pinnedVersion)
     .getOrElse(throw new IllegalStateException(s"no committed snapshot at $indexDir"))
+
+  /** read a table from the snapshot's file manifest (fall back to the whole
+    * directory for pre-manifest indexes). */
+  private def readTable(table: String, fallbackDir: String) = {
+    snap.files.get(table).filter(_.nonEmpty) match {
+      case Some(fs) => spark.read.parquet(fs.map(f => s"$indexDir/$f"): _*)
+      case None => spark.read.parquet(s"$indexDir/$fallbackDir")
+    }
+  }
   val nDocs: Long = snap.nDocs
   val avgdl: Double = snap.avgdl
 
@@ -65,13 +81,13 @@ final class SparkSearcher(
   }
 
   @transient lazy val termStats: Dataset[TermStatRow] = {
-    val ds = spark.read.parquet(s"$indexDir/termstats").as[TermStatRow]
+    val ds = readTable("termstats", "termstats").as[TermStatRow]
     ds.cache()
     ds
   }
-  @transient lazy val docMeta = spark.read.parquet(s"$indexDir/docmeta").as[DocMetaRow]
-  @transient private lazy val postings = spark.read.parquet(s"$indexDir/postings").as[PostingBlockRow]
-  @transient private lazy val docText = spark.read.parquet(s"$indexDir/doctext").as[DocTextRow]
+  @transient lazy val docMeta = readTable("docmeta", "docmeta").as[DocMetaRow]
+  @transient private lazy val postings = readTable("postings", "postings").as[PostingBlockRow]
+  @transient private lazy val docText = readTable("doctext", "doctext").as[DocTextRow]
 
   // ---- TermDict over the termstats table ----
   // per-lookup memo: existing() and the subsequent dfOf() for the same

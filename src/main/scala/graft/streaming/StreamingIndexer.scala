@@ -38,11 +38,23 @@ object StreamingIndexer {
     val committed = IndexStore.readStageDetail(indexDir, "stream", "lastBatchId").map(_.toLong)
     if (committed.exists(_ >= batchId)) return 0L // replayed batch: already in
 
-    val nextDocId = IndexStore.readStageDetail(indexDir, "stream", "nextDocId")
-      .map(_.toLong).getOrElse(0L)
-    val prevDocs = IndexStore.readStageDetail(indexDir, "stream", "nDocs").map(_.toLong).getOrElse(0L)
-    val prevDl = IndexStore.readStageDetail(indexDir, "stream", "sumDl").map(_.toLong).getOrElse(0L)
-    val prevPostings = IndexStore.readStageDetail(indexDir, "stream", "totalPostings").map(_.toLong).getOrElse(0L)
+    // continuation state: from the stream marker if present, else derived
+    // from an existing full-build snapshot (appending to a batch-built
+    // index must continue its docId space, not restart at 0)
+    val baseSnap = IndexStore.readSnapshot(indexDir)
+    val streamMarker = IndexStore.readStageDetail(indexDir, "stream", "nextDocId")
+    val nextDocId = streamMarker.map(_.toLong).getOrElse {
+      baseSnap match {
+        case Some(_) if new java.io.File(s"$indexDir/docmeta").exists() =>
+          spark.read.parquet(s"$indexDir/docmeta")
+            .agg(coalesce(max($"docId"), lit(-1L))).head().getLong(0) + 1
+        case _ => 0L
+      }
+    }
+    val prevDocs = IndexStore.readStageDetail(indexDir, "stream", "nDocs").map(_.toLong)
+      .orElse(baseSnap.map(_.nDocs)).getOrElse(0L)
+    val prevDl = IndexStore.readStageDetail(indexDir, "stream", "sumDl").map(_.toLong)
+      .orElse(baseSnap.map(s => math.round(s.avgdl * s.nDocs))).getOrElse(0L)
 
     val an = IndexBuilder.analyzerFor(cfg)
     val src = cfg.sourceName
@@ -121,12 +133,16 @@ object StreamingIndexer {
       .mapPartitions(IndexBuilder.encodeBlocks(_, avgdl))
     blocks.write.mode("append").parquet(s"$indexDir/postings")
 
-    // term dictionary: full recompute from block metadata (tiny agg)
+    // term dictionary: full recompute from block metadata (tiny agg),
+    // written to a NEW versioned dir so pinned snapshots stay readable
+    val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
+    val termStatsDir = s"termstats-v$version"
     spark.read.parquet(s"$indexDir/postings")
+      .filter($"term" =!= IndexBuilder.DlStripTerm)
       .groupBy($"term")
       .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
       .repartition(1).sortWithinPartitions($"term")
-      .write.mode("overwrite").parquet(s"$indexDir/termstats")
+      .write.mode("overwrite").parquet(s"$indexDir/$termStatsDir")
 
     val batchPostings = spark.read.parquet(s"$indexDir/postings")
       .agg(coalesce(sum($"nPostings"), lit(0L))).head().getLong(0)
@@ -138,10 +154,14 @@ object StreamingIndexer {
         "nDocs" -> nDocs.toString,
         "sumDl" -> sumDl.toString,
         "totalPostings" -> batchPostings.toString)))
-    val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
     IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
       version, nDocs, avgdl, batchPostings,
-      Seq(IndexStore.StageRecord("stream", s"batch-$batchId", batchDocs, 0L, Map.empty))))
+      Seq(IndexStore.StageRecord("stream", s"batch-$batchId", batchDocs, 0L, Map.empty)),
+      Map(
+        "doctext" -> IndexStore.listTableFiles(indexDir, "doctext"),
+        "docmeta" -> IndexStore.listTableFiles(indexDir, "docmeta"),
+        "postings" -> IndexStore.listTableFiles(indexDir, "postings"),
+        "termstats" -> IndexStore.listTableFiles(indexDir, termStatsDir))))
     batchDocs
   }
 

@@ -82,6 +82,22 @@ class StreamingSpec extends AnyFunSuite {
     memAdd(40 until 70)
     check("after-batch-1")
 
+    // time travel: a reader pinned to the batch-0 snapshot still sees ONLY
+    // batch-0 docs even though batch-1 files were appended since
+    val v1 = 1 // first streaming commit wrote manifest v1
+    val pinned = SparkSearcher.open(spark, indexDir, Some(v1))
+    assert(pinned.nDocs == 40, s"pinned nDocs ${pinned.nDocs}")
+    val memV1 = new MemIndex(Analyzer())
+    (0 until 40).map(i => (graft.fixtures.PagesGen.urlFor(i.toLong), graft.fixtures.PagesGen.htmlFor(i.toLong)))
+      .sortBy(_._1).foreach { case (url, html) =>
+        val ex = HtmlExtract.extract(html)
+        if (ex.text.nonEmpty) memV1.addDoc("web:" + url, ex.headers(url, "web"), Seq(("1", ex.text)))
+      }
+    val pq = Seq("running", "merriment")
+    assert(pinned.bm25TopK(pq, 5) == memV1.bm25TopK(pq, 5), "pinned snapshot bm25")
+    assert(pinned.search("old", SearchOptions(dist = 40)).docs.map(_.docId) ==
+      memV1.search("old", SearchOptions(dist = 40)).docs.map(_.docId), "pinned search")
+
     // replaying an already-committed batchId is a no-op
     val before = IndexStore.readSnapshot(indexDir).get
     val n = StreamingIndexer.appendBatch(spark,
