@@ -60,13 +60,18 @@ object IndexBuilder {
   def analyzerFor(cfg: BuildConfig): Analyzer =
     Analyzer(stopWords = cfg.stopWords, vocabs = cfg.vocabs, enableStemming = cfg.stemming)
 
-  /** Signature of the input snapshot + build config. Pins resume: a stage
-    * marker only skips when both the input files and the config match. */
+  /** Storage layout version — bumped whenever the block schema/semantics
+    * change, so stale indexes never silently resume across layouts. */
+  val LayoutVersion = "layout-v3-dlstrips"
+
+  /** Signature of the input snapshot + build config + layout. Pins resume:
+    * a stage marker only skips when all three match. */
   private def inputSignature(pages: DataFrame, cfg: BuildConfig): String = {
     val files = pages.inputFiles.sorted
     val h = java.security.MessageDigest.getInstance("SHA-256")
     files.foreach(f => h.update(f.getBytes("UTF-8")))
     h.update(cfg.toString.getBytes("UTF-8"))
+    h.update(LayoutVersion.getBytes("UTF-8"))
     files.length + ":" + h.digest().map("%02x".format(_)).mkString.take(16)
   }
 
