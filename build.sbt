@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked app stdout goes straight through, NOT via sbt's logger: the driver
+// parses the single {"metric":...} line Bench prints, and the [info] prefix
+// sbt's default logger adds made round 1's BENCH record unparseable.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

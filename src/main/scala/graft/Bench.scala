@@ -243,6 +243,13 @@ object Bench {
       opTimes.map { case (k, v) => s"op_$k" -> f(v) }
 
     val qs = qmap.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"graft fulltext bench (build dps, bm25 qps, scaling c$lo->c$cpus)","value":$totalSec,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"graft fulltext bench (build dps, bm25 qps, scaling c$lo->c$cpus)","value":$totalSec,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // file copy as machine-readable evidence (stdout stays the contract)
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH/bench_last.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(line)
   }
 }

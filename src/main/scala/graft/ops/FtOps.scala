@@ -122,13 +122,19 @@ object FtOps {
            |WHERE regexp_matches(lower(text), '\bcustomer\b.{1,4}\bvector')
            |ORDER BY doc_id LIMIT 500""".stripMargin))
 
-  /** engine suggestions (term dictionary scan ordered by cf). */
+  /** engine suggestions (term dictionary prefix scan ordered by cf desc,
+    * mirroring Search.cs:176-188): completions of "va" = suffixes of terms
+    * starting with "va", most-frequent first. */
   val suggest = Op("ft_suggest",
     (s, dir) => {
       import s.implicits._
       searcherFor(s, dir).suggest("va", 10).toDF("completion")
     },
-    None)
+    Some(s"""WITH $toksSql,
+            |ts AS (SELECT term, count(*) AS cf FROM f GROUP BY term)
+            |SELECT substr(term, 3) AS completion
+            |FROM ts WHERE term LIKE 'va%' AND length(term) > 2
+            |ORDER BY cf DESC, term LIMIT 10""".stripMargin))
 
   val all: Seq[Op] = Seq(termStats, topTerms, bm25TopK, searchAnd, searchPhrase, suggest)
 }

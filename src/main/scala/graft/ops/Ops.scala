@@ -364,6 +364,8 @@ object Ops {
         .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
+    // sum(int) in DuckDB returns HUGEINT (int128) while Spark returns BIGINT
+    // — the driver's hasher distinguishes them, so cast explicitly.
     Some("""WITH x AS (
            |  SELECT user_id, ts,
            |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -371,7 +373,7 @@ object Ops {
            |y AS (SELECT user_id,
            |        CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
            |      FROM x)
-           |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+           |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
            |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   // ---------- TPC-H-ish relational sanity ----------

@@ -209,7 +209,9 @@ object IndexBuilder {
         .sortWithinPartitions($"term", $"bucket", $"docId")
         .mapPartitions(encodeBlocks(_, avgdl))
 
-      blocks.write.mode("overwrite").parquet(postingsPath)
+      blocks.write.mode("overwrite")
+        .options(postingsWriteOptions).parquet(postingsPath)
+      verifySingleRowGroup(spark, postingsPath)
       val m = spark.read.parquet(postingsPath)
         .agg(sum($"nPostings"), count(lit(1))).head()
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
@@ -226,11 +228,16 @@ object IndexBuilder {
         resumed += "termstats"
         IndexStore.readStageDetail(indexDir, "termstats", "dir").getOrElse(termStatsDirName)
       } else {
+        // range-partitioned by term: parallel write (a web-scale vocab is
+        // billions of entries — a single-partition sort/write would be the
+        // build's bottleneck and an OOM risk) and files stay term-sorted
+        // for row-group pruning on dictionary lookups.
+        val statsParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
         spark.read.parquet(postingsPath)
           .filter($"term" =!= DlStripTerm)
           .groupBy($"term")
           .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
-          .repartition(1).sortWithinPartitions($"term")
+          .repartitionByRange(statsParts, $"term").sortWithinPartitions($"term")
           .write.mode("overwrite").parquet(termStatsPath)
         IndexStore.commitStage(indexDir, IndexStore.StageRecord(
           "termstats", sig, -1L, dirBytes(termStatsPath), Map("dir" -> termStatsDirName)))
@@ -251,6 +258,11 @@ object IndexBuilder {
       java.nio.file.Files.write(f, bos.toByteArray)
     }
 
+    // a full (re)build starts a new lineage: clear any streaming
+    // continuation marker so a later append derives its docId space and
+    // running sums from THIS snapshot, not a pre-rebuild corpus
+    java.nio.file.Files.deleteIfExists(IndexStore.stageMarkerPath(indexDir, "stream"))
+
     // ---- snapshot commit (manifest lists the exact files of each table,
     // so readers can pin this version even after later appends) ----
     val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
@@ -267,6 +279,64 @@ object IndexBuilder {
         "termstats" -> IndexStore.listTableFiles(indexDir, termStatsDirFinal))))
 
     BuildStats(nDocs, avgdl, totalPostings, resumed.toSeq)
+  }
+
+  /** Parquet options for the postings table: ONE row group per file.
+    *
+    * Query-side evaluation (BM25 scoring, positional kernels) runs as
+    * mapPartitions over the postings scan and assumes every block of a
+    * document — including the per-bucket dl strip — is seen by ONE task.
+    * Parquet files with >1 row group are split across tasks at row-group
+    * boundaries, which would silently break that invariant once a file
+    * exceeds the 128 MB row-group default (partial BM25 scores, dl
+    * fallback to 1, duplicate eval rows). With a single row group the
+    * whole file is read by exactly one task no matter how the scan is
+    * split (parquet assigns a row group to the split containing its
+    * midpoint), so the invariant is structural, not tuning-dependent.
+    *
+    * At scale the file (= row group) size is governed by the number of
+    * shuffle partitions in the build: size them so each postings file is
+    * ~512 MB–1 GB. Term lookups stay pruned WITHIN the row group via
+    * parquet page-level column indexes (rows are term-sorted per file).
+    */
+  val postingsWriteOptions: Map[String, String] = Map(
+    "parquet.block.size" -> (64L << 30).toString)
+
+  /** Enforce the one-row-group-per-file invariant after a postings write:
+    * parquet's MemoryManager can silently scale row-group sizes down under
+    * many concurrent writers, which would re-split docs across tasks at
+    * scale. Footer reads are distributed (one tiny task per file). Fails
+    * the build with guidance rather than corrupting query results later. */
+  def verifySingleRowGroup(spark: SparkSession, dir: String): Unit = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath) else Nil }
+      else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+    val files = walk(new java.io.File(dir))
+    if (files.isEmpty) return
+    val bad = spark.sparkContext
+      .parallelize(files, math.min(files.size, spark.sparkContext.defaultParallelism))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (p, r.getRowGroups.size()) finally r.close()
+      }
+      .filter(_._2 > 1).collect()
+    require(bad.isEmpty,
+      s"postings files with >1 row group (doc-shard invariant broken): " +
+        bad.take(3).map { case (p, n) => s"$p($n)" }.mkString(", ") +
+        " — raise spark.sql.shuffle.partitions so each postings file fits one row group")
+  }
+
+  /** Reader-side confs matching the one-row-group layout: one task per
+    * postings file — no byte-range splitting (maxPartitionBytes = largest
+    * file) and no small-file packing (openCost = same), so parallelism is
+    * exactly #files and the doc-shard invariant holds. */
+  def postingsReadConfs(postingsBytesMax: Long): Seq[(String, String)] = {
+    val cap = math.max(1L << 20, postingsBytesMax)
+    Seq(
+      "spark.sql.files.maxPartitionBytes" -> cap.toString,
+      "spark.sql.files.openCostInBytes" -> cap.toString)
   }
 
   /** Sentinel "term" of per-bucket document-length strips: each bucket gets

@@ -64,20 +64,16 @@ final class SparkSearcher(
   val nDocs: Long = snap.nDocs
   val avgdl: Double = snap.avgdl
 
-  // small indexes must still scan/decode in parallel (see IndexBuilder):
-  // aim for ≥3 splits per core, clamped to the 128 MB default at scale.
+  // One task per postings file (see IndexBuilder.postingsReadConfs): the
+  // doc-shard invariant requires a file's blocks to stay in one task, and
+  // parallelism comes from the file count (= build shuffle partitions),
+  // not byte-range splitting.
   locally {
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isFile) f.length()
-        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      val f = new java.io.File(p)
-      if (f.exists()) walk(f) else 0L
-    }
-    val cores = spark.sparkContext.defaultParallelism
-    val targetSplit = math.min(128L << 20,
-      math.max(1L << 20, dirBytes(s"$indexDir/postings") / math.max(1, cores * 3)))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", targetSplit.toString)
+    def maxIn(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.foldLeft(0L)((m, c) => math.max(m, maxIn(c)))).getOrElse(0L)
+    val maxFile = maxIn(new java.io.File(s"$indexDir/postings"))
+    IndexBuilder.postingsReadConfs(maxFile).foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   @transient lazy val termStats: Dataset[TermStatRow] = {

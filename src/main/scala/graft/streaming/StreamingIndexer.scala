@@ -16,15 +16,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   *  - docIds continue from the snapshot's `nextDocId` (deterministic:
   *    url-sorted within the batch);
-  *  - postings/docmeta/doctext Parquet files are APPENDED — a batch's docs
-  *    are fully contained in its own files, so the doc-sharded invariant
-  *    (a doc's terms co-located in one file) holds and the query side needs
-  *    no changes;
-  *  - N/avgdl/totalPostings are maintained incrementally in the snapshot;
-  *    block-max bounds stay valid under avgdl drift because WAND recomputes
-  *    them from the stored (maxTf, minDl);
+  *  - each batch writes to BATCH-SCOPED directories
+  *    (`doctext/batch-<id>/`, `docmeta/batch-<id>/`,
+  *    `postings/batch-<id>/`) in overwrite mode, so a replay after a
+  *    mid-batch crash REPLACES the partial output instead of appending a
+  *    second copy — exactly-once without a distributed transaction. The
+  *    snapshot manifest only ever lists files of committed batches;
+  *  - a batch's docs are fully contained in its own postings files, so the
+  *    doc-sharded invariant (a doc's terms co-located in one file) holds
+  *    and the query side needs no changes;
+  *  - tokenization uses the analyzer PERSISTED with the index
+  *    (analyzer.bin), never a config-derived one, so appended postings are
+  *    term-code-compatible with the build; a first append to an empty dir
+  *    persists the config-derived analyzer;
+  *  - termstats is an INCREMENTAL merge: previous snapshot's termstats ∪
+  *    this batch's delta, re-aggregated — O(vocab + batch), not O(index);
+  *    totalPostings/nDocs/sumDl are running sums in the snapshot/marker;
   *  - exactly-once: the streaming checkpoint replays an uncommitted batch;
-  *    appendBatch is keyed by batchId in the snapshot (skip if committed).
+  *    appendBatch is keyed by batchId in the stream marker (skip if
+  *    committed), and un-committed replays overwrite their own dirs.
   */
 object StreamingIndexer {
 
@@ -40,13 +50,16 @@ object StreamingIndexer {
 
     // continuation state: from the stream marker if present, else derived
     // from an existing full-build snapshot (appending to a batch-built
-    // index must continue its docId space, not restart at 0)
+    // index must continue its docId space, not restart at 0). build()
+    // clears the stream marker on a full rebuild, so a stale marker can
+    // never leak pre-rebuild counts into the new lineage.
     val baseSnap = IndexStore.readSnapshot(indexDir)
     val streamMarker = IndexStore.readStageDetail(indexDir, "stream", "nextDocId")
     val nextDocId = streamMarker.map(_.toLong).getOrElse {
       baseSnap match {
         case Some(_) if new java.io.File(s"$indexDir/docmeta").exists() =>
-          spark.read.parquet(s"$indexDir/docmeta")
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(s"$indexDir/docmeta")
             .agg(coalesce(max($"docId"), lit(-1L))).head().getLong(0) + 1
         case _ => 0L
       }
@@ -55,12 +68,29 @@ object StreamingIndexer {
       .orElse(baseSnap.map(_.nDocs)).getOrElse(0L)
     val prevDl = IndexStore.readStageDetail(indexDir, "stream", "sumDl").map(_.toLong)
       .orElse(baseSnap.map(s => math.round(s.avgdl * s.nDocs))).getOrElse(0L)
+    val prevPostings = IndexStore.readStageDetail(indexDir, "stream", "totalPostings").map(_.toLong)
+      .orElse(baseSnap.map(_.totalPostings)).getOrElse(0L)
 
-    val an = IndexBuilder.analyzerFor(cfg)
+    // the analyzer persisted at build/first-append time wins: appending
+    // with a different tokenizer config would silently mix incompatible
+    // term codes (stems, vocab groups, stopword sets).
+    val anFile = java.nio.file.Paths.get(indexDir, "analyzer.bin")
+    val an: graft.text.Analyzer =
+      if (java.nio.file.Files.exists(anFile)) {
+        val ois = new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(anFile)))
+        try ois.readObject().asInstanceOf[graft.text.Analyzer] finally ois.close()
+      } else IndexBuilder.analyzerFor(cfg)
+
     val src = cfg.sourceName
     val inc = cfg.includeHeaders
     val psz = cfg.pageSize
     val bits = cfg.bucketBits
+
+    val batchTag = s"batch-$batchId"
+    val docTextDir = s"$indexDir/doctext/$batchTag"
+    val docMetaDir = s"$indexDir/docmeta/$batchTag"
+    val postingsDir = s"$indexDir/postings/$batchTag"
 
     val in = pages.select($"url", $"html", $"text").as[(String, Array[Byte], String)]
     val sorted = in.repartitionByRange($"url".asc).sortWithinPartitions($"url".asc)
@@ -77,11 +107,12 @@ object StreamingIndexer {
         }
       }
     }.toDS()
-    docText.write.mode("append").parquet(s"$indexDir/doctext")
+    // overwrite = idempotent under checkpoint replay (partial output of a
+    // crashed attempt is replaced, never double-counted)
+    docText.write.mode("overwrite").parquet(docTextDir)
 
-    // read back just this batch's docs (docId >= nextDocId) for the passes
-    val batchText = spark.read.parquet(s"$indexDir/doctext")
-      .as[DocTextRow].filter(_.docId >= nextDocId)
+    // read back just this batch's docs (its own directory) for the passes
+    val batchText = spark.read.parquet(docTextDir).as[DocTextRow]
 
     val bc = spark.sparkContext.broadcast(an)
     val docMeta = batchText.mapPartitions { it =>
@@ -92,9 +123,8 @@ object StreamingIndexer {
         DocMetaRow(d.docId, d.name, di.pageIds.toSeq, di.pageEnds.toSeq, di.docLen)
       }
     }
-    docMeta.write.mode("append").parquet(s"$indexDir/docmeta")
-    val agg = spark.read.parquet(s"$indexDir/docmeta")
-      .filter($"docId" >= nextDocId)
+    docMeta.write.mode("overwrite").parquet(docMetaDir)
+    val agg = spark.read.parquet(docMetaDir)
       .agg(count(lit(1)), coalesce(sum($"docLen"), lit(0L)), coalesce(max($"docId"), lit(nextDocId - 1)))
       .head()
     val batchDocs = agg.getLong(0)
@@ -131,37 +161,69 @@ object StreamingIndexer {
       .repartition(shufflePartitions, $"bucket")
       .sortWithinPartitions($"term", $"bucket", $"docId")
       .mapPartitions(IndexBuilder.encodeBlocks(_, avgdl))
-    blocks.write.mode("append").parquet(s"$indexDir/postings")
+    blocks.write.mode("overwrite")
+      .options(IndexBuilder.postingsWriteOptions).parquet(postingsDir)
+    IndexBuilder.verifySingleRowGroup(spark, postingsDir)
 
-    // term dictionary: full recompute from block metadata (tiny agg),
-    // written to a NEW versioned dir so pinned snapshots stay readable
+    // term dictionary: INCREMENTAL merge of the previous snapshot's
+    // termstats with this batch's delta (O(vocab + batch) — never re-reads
+    // the whole postings table), written to a NEW versioned dir so pinned
+    // snapshots stay readable. Range-partitioned by term: no single-task
+    // write, files stay term-sorted for pruning.
     val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
     val termStatsDir = s"termstats-v$version"
-    spark.read.parquet(s"$indexDir/postings")
+    val batchDelta = spark.read.parquet(postingsDir)
       .filter($"term" =!= IndexBuilder.DlStripTerm)
       .groupBy($"term")
       .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
-      .repartition(1).sortWithinPartitions($"term")
+    val prevFiles = baseSnap.toSeq.flatMap(_.files.getOrElse("termstats", Nil))
+      .map(f => s"$indexDir/$f")
+    val mergedStats =
+      if (prevFiles.isEmpty) batchDelta
+      else spark.read.parquet(prevFiles: _*).select($"term", $"df", $"cf")
+        .unionByName(batchDelta)
+        .groupBy($"term").agg(sum($"df").as("df"), sum($"cf").as("cf"))
+    mergedStats
+      .repartitionByRange(shufflePartitions, $"term").sortWithinPartitions($"term")
       .write.mode("overwrite").parquet(s"$indexDir/$termStatsDir")
 
-    val batchPostings = spark.read.parquet(s"$indexDir/postings")
+    val batchPostings = spark.read.parquet(postingsDir)
       .agg(coalesce(sum($"nPostings"), lit(0L))).head().getLong(0)
+    val totalPostings = prevPostings + batchPostings
 
+    if (!java.nio.file.Files.exists(anFile)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(an)
+      oos.close()
+      java.nio.file.Files.write(anFile, bos.toByteArray)
+    }
+
+    // manifest adopts ONLY the previous snapshot's files + this batch's
+    // own directories — an orphaned directory from an abandoned attempt is
+    // never picked up by listing the parent.
+    def tableFiles(table: String): Seq[String] =
+      baseSnap.toSeq.flatMap(_.files.getOrElse(table, Nil)) ++
+        IndexStore.listTableFiles(indexDir, s"$table/$batchTag")
+
+    // snapshot first, stream marker last: a crash between them replays the
+    // batch, whose overwrites + re-commit are idempotent (same files, same
+    // running sums derived from the same pre-batch marker state).
+    IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
+      version, nDocs, avgdl, totalPostings,
+      Seq(IndexStore.StageRecord("stream", s"batch-$batchId", batchDocs, 0L, Map.empty)),
+      Map(
+        "doctext" -> tableFiles("doctext"),
+        "docmeta" -> tableFiles("docmeta"),
+        "postings" -> tableFiles("postings"),
+        "termstats" -> IndexStore.listTableFiles(indexDir, termStatsDir))))
     IndexStore.commitStage(indexDir, IndexStore.StageRecord(
       "stream", s"batch-$batchId", batchDocs, 0L,
       Map("lastBatchId" -> batchId.toString,
         "nextDocId" -> (maxDocId + 1).toString,
         "nDocs" -> nDocs.toString,
         "sumDl" -> sumDl.toString,
-        "totalPostings" -> batchPostings.toString)))
-    IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
-      version, nDocs, avgdl, batchPostings,
-      Seq(IndexStore.StageRecord("stream", s"batch-$batchId", batchDocs, 0L, Map.empty)),
-      Map(
-        "doctext" -> IndexStore.listTableFiles(indexDir, "doctext"),
-        "docmeta" -> IndexStore.listTableFiles(indexDir, "docmeta"),
-        "postings" -> IndexStore.listTableFiles(indexDir, "postings"),
-        "termstats" -> IndexStore.listTableFiles(indexDir, termStatsDir))))
+        "totalPostings" -> totalPostings.toString)))
     batchDocs
   }
 
