@@ -124,6 +124,17 @@ object Varint {
       }
       last
     }
+    /** Skip `n` values without decoding them — just walk the continuation
+      * bits. Used to jump over position chains of documents a query's
+      * presence prescreen already rejected. */
+    def skip(n: Long): Unit = {
+      var i = 0L
+      while (i < n) {
+        while ((bytes(p + 1) & 0x80) != 0) p += 2
+        p += 2
+        i += 1
+      }
+    }
     /** next raw (non-cumulative) value */
     def nextRaw(): Long = {
       var v = 0L

@@ -79,6 +79,27 @@ final case class QueryPlan(
     case AndNode(l, r) => PosSeq.and(evalDoc(l, coordsOf), evalDoc(r, coordsOf))
     case OrNode(l, r) => PosSeq.or(evalDoc(l, coordsOf), evalDoc(r, coordsOf))
   }
+
+  /** Presence-only prescreen over a doc's term set: false means evalDoc is
+    * guaranteed empty for both body and fields, so the doc's position bytes
+    * need not be decoded at all. Sound because the PosSeq algebra's
+    * emptiness composes: and(a,b) nonempty ⇒ both nonempty, or(a,b)
+    * nonempty ⇒ either nonempty, and a leaf needs one of its codes (plus
+    * its field marker, for field leaves) present in the doc. */
+  def canMatch(has: String => Boolean): Boolean = {
+    def leafB(lp: LeafPlan): Boolean = lp.field match {
+      case Some(f) if lp.fieldPresent =>
+        has(Consts.FieldNameChar.toString + f) && lp.codes.exists(has)
+      case Some(_) => false
+      case None => lp.codes.exists(has)
+    }
+    def b(ast: Ast): Boolean = ast match {
+      case LeafRef(id) => leafB(leaves(id))
+      case AndNode(l, r) => b(l) && b(r)
+      case OrNode(l, r) => b(l) || b(r)
+    }
+    body.exists(b) || fields.exists(b)
+  }
 }
 
 object QueryPlanner {

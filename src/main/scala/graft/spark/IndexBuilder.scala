@@ -431,6 +431,28 @@ object IndexBuilder {
     }
   }
 
+  /** Decode (docId, tf, coords) like decodeBlock, but materialize coords
+    * ONLY for docs the predicate admits — everyone else's position chain is
+    * skipped byte-wise (no allocation, no delta accumulation). Used by the
+    * query side after the presence prescreen rejects a doc for every query
+    * in the batch. */
+  def decodeBlockFor(b: PostingBlockRow, want: Long => Boolean): Iterator[(Long, Long, Array[Long])] = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val tfR = new Varint.Reader(b.tfs)
+    val posR = new Varint.Reader(b.posDeltas)
+    (0 until b.nDocs).iterator.flatMap { _ =>
+      val d = docR.next()
+      val tf = tfR.nextRaw()
+      if (want(d)) {
+        posR.rebase(0L)
+        val coords = new Array[Long](tf.toInt)
+        var i = 0
+        while (i < tf) { coords(i) = posR.next(); i += 1 }
+        Some((d, tf, coords))
+      } else { posR.skip(tf); None }
+    }
+  }
+
   /** Decode only (docId, tf) — scorers never touch position bytes. */
   def decodeDocTfs(b: PostingBlockRow): Iterator[(Long, Long)] = {
     val docR = new Varint.Reader(b.docDeltas)

@@ -153,20 +153,37 @@ final class SparkSearcher(
     val blocks = postings.filter($"term".isin(codes.toSeq: _*))
 
     // Doc-sharded index layout: all terms of a document live in the same
-    // partition, so per-doc evaluation is a LOCAL mapPartitions (no shuffle)
+    // partition, so per-doc evaluation is a LOCAL mapPartitions (no shuffle).
+    // Two-pass decode: a (docId, tf)-only presence pass prescreens docs
+    // (canMatch), then position bytes are decoded ONLY for candidates —
+    // a selective AND query skips most position chains entirely. With
+    // withWordInfo the per-leaf counts need every doc, so no skip.
     val qpB = spark.sparkContext.broadcast(qp)
     val scoringB = spark.sparkContext.broadcast(scoringCodes)
+    val wantInfo = withWordInfo
     val evals: Dataset[EvalRow] = blocks.mapPartitions { it =>
+      val q = qpB.value
+      val rows = it.toArray
+      val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
+      rows.foreach { b =>
+        IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
+          present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
+        }
+      }
+      val want: Long => Boolean =
+        if (wantInfo) _ => true
+        else d => present.get(d).exists(ts => q.canMatch(ts.contains))
       val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
-      it.foreach { b =>
-        IndexBuilder.decodeBlock(b).foreach { case (d, _, coords) =>
+      rows.foreach { b =>
+        IndexBuilder.decodeBlockFor(b, want).foreach { case (d, _, coords) =>
           byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
         }
       }
-      val q = qpB.value
       byDoc.iterator.map { case (docId, m) =>
         val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
-        val leafCounts = q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
+        val leafCounts =
+          if (wantInfo) q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
+          else Array.emptyLongArray
         val body = q.body.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
         val fieldHit = q.fields.exists(a => q.evalDoc(a, get).coords.nonEmpty)
         val coords = if (q.body.isEmpty) {
@@ -233,7 +250,6 @@ final class SparkSearcher(
     * intersection, filters, ranks, BM25). */
   def searchBatch(reqs: Seq[(String, SearchOptions)],
                   withWordInfo: Boolean = false): Seq[SearchOut] = {
-    import org.apache.spark.sql.expressions.Window
     if (reqs.isEmpty) return Nil
 
     // plan all queries with ONE existence round-trip: prefetch the union of
@@ -264,18 +280,38 @@ final class SparkSearcher(
     val plansB = spark.sparkContext.broadcast(plans.toArray)
     val scoringBatch = spark.sparkContext.broadcast(scoringPer.toArray)
     val blocks = postings.filter($"term".isin(allCodes: _*))
+    val wantInfo = withWordInfo
     val evals: Dataset[(Int, EvalRow)] = blocks.mapPartitions { it =>
+      val ps = plansB.value
+      val sc = scoringBatch.value
+      val rows = it.toArray
+      // presence pass: (docId, tf) only — position bytes untouched
+      val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
+      rows.foreach { b =>
+        IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
+          present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
+        }
+      }
+      // which queries can each doc possibly satisfy (presence algebra)?
+      val candQis = mutable.HashMap.empty[Long, Array[Int]]
+      val allQis = ps.indices.toArray
+      present.foreach { case (d, ts) =>
+        if (wantInfo) candQis(d) = allQis // per-leaf counts need every doc
+        else {
+          val qs = allQis.filter(qi => ps(qi).canMatch(ts.contains))
+          if (qs.nonEmpty) candQis(d) = qs
+        }
+      }
+      // position decode only for candidate docs
       val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
-      it.foreach { b =>
-        IndexBuilder.decodeBlock(b).foreach { case (d, _, coords) =>
+      rows.foreach { b =>
+        IndexBuilder.decodeBlockFor(b, candQis.contains).foreach { case (d, _, coords) =>
           byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
         }
       }
-      val ps = plansB.value
-      val sc = scoringBatch.value
       byDoc.iterator.flatMap { case (docId, m) =>
         val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
-        ps.indices.iterator.flatMap { qi =>
+        candQis(docId).iterator.flatMap { qi =>
           val q = ps(qi)
           val body = q.body.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
           val fieldHit = q.fields.exists(a => q.evalDoc(a, get).coords.nonEmpty)
@@ -285,7 +321,7 @@ final class SparkSearcher(
           if (coords.isEmpty && !fieldHit) None
           else {
             val leafCounts =
-              if (withWordInfo) q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
+              if (wantInfo) q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
               else Array.emptyLongArray
             val tfs = sc(qi).map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
             Some((qi, EvalRow(docId, coords, fieldHit, leafCounts, sc(qi), tfs)))
@@ -294,13 +330,54 @@ final class SparkSearcher(
       }
     }
 
-    // field membership = fieldHit within the first 500 field docs per query
-    val w = Window.partitionBy($"_1").orderBy($"_2.docId")
+    // Field membership = the first 500 field-matching docs per query
+    // (docId order). Computed by a SLIM pass over only the field-relevant
+    // postings, capped per (query, scan task) and merged on the driver —
+    // NOT a per-query window over the whole hit stream, which would funnel
+    // every eval row of a broad query through one task at web scale.
+    val fieldQis: Array[Int] =
+      plans.indices.filter(qi => plans(qi).fields.nonEmpty && plans(qi).body.nonEmpty).toArray
+    val fieldSets: Map[Int, Set[Long]] =
+      if (fieldQis.isEmpty) Map.empty
+      else {
+        val fCodes = fieldQis.flatMap { qi =>
+          plans(qi).leaves.filter(_.field.nonEmpty).flatMap(l =>
+            l.codes.toSeq ++
+              l.field.filter(_ => l.fieldPresent).map(f => Consts.FieldNameChar.toString + f))
+        }.distinct.toSeq
+        val fqB = spark.sparkContext.broadcast(fieldQis)
+        val cap = Consts.MaxFoundDocs
+        val perPart = postings.filter($"term".isin(fCodes: _*)).mapPartitions { it =>
+          val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
+          it.foreach { b =>
+            IndexBuilder.decodeBlock(b).foreach { case (d, _, coords) =>
+              byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+            }
+          }
+          val ps = plansB.value
+          val hits = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Long]]
+          byDoc.foreach { case (docId, m) =>
+            val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
+            fqB.value.foreach { qi =>
+              if (ps(qi).fields.exists(a => ps(qi).evalDoc(a, get).coords.nonEmpty))
+                hits.getOrElseUpdate(qi, mutable.ArrayBuffer.empty) += docId
+            }
+          }
+          hits.iterator.map { case (qi, b) => (qi, b.toArray.sorted.take(cap)) }
+        }
+        perPart.collect().groupBy(_._1).map { case (qi, rows) =>
+          qi -> rows.iterator.flatMap(_._2).toArray.sorted.take(cap).toSet
+        }
+      }
+    val fsB = spark.sparkContext.broadcast(fieldSets)
+
     val flagged = evals
-      .withColumn("fieldRank", sum(when($"_2.fieldHit", 1).otherwise(0)).over(w))
-      .withColumn("inField", $"_2.fieldHit" && $"fieldRank" <= Consts.MaxFoundDocs)
-      .filter($"_2.coords".isNotNull && size($"_2.coords") > 0)
-      .select($"_1".as("qi"), $"_2".as("e"), $"inField")
+      .filter(p => p._2.coords.nonEmpty)
+      .map { case (qi, e) =>
+        val inField = fsB.value.get(qi).exists(s => e.fieldHit && s.contains(e.docId))
+        (qi, e, inField)
+      }
+      .toDF("qi", "e", "inField")
       .joinWith(docMeta, $"e.docId" === docMeta("docId"))
       .orderBy($"_1.qi", $"_1.e.docId")
 
@@ -459,29 +536,59 @@ final class SparkSearcher(
     if (codes.isEmpty) return Nil
     val dfs = dfOf(codes)
     val idf = codes.map(c => c -> Ranker.bm25Idf(nDocs, dfs.getOrElse(c, 0L))).toMap
+    val ad = avgdl
+    val idfB = spark.sparkContext.broadcast(idf)
 
-    // bucket upper bounds from block metadata only (columns pruned);
-    // bound recomputed from (maxTf, minDl) with the CURRENT avgdl so it
-    // stays an upper bound even after incremental appends drift avgdl
-    val meta = postings
-      .filter($"term".isin(codes: _*) && $"term" =!= IndexBuilder.DlStripTerm)
+    // Per-bucket upper bounds computed DISTRIBUTIVELY from block metadata
+    // (columns pruned; the per-(term,bucket) rows never reach the driver —
+    // at web scale that's #codes × #buckets rows). Driver traffic is
+    // O(phase-1 prefix + buckets beating the floor) = O(k + selected
+    // buckets). Bounds are recomputed from (maxTf, minDl) with the CURRENT
+    // avgdl so they stay upper bounds after incremental appends drift avgdl.
+    val bounds = postings
+      .filter($"term".isin(codes: _*))
       .select($"term", $"bucket", $"nDocs", $"maxTf", $"minDl")
-      .as[(String, Int, Int, Long, Long)].collect()
-    val ub = mutable.HashMap.empty[Int, Double]
-    val bucketDocs = mutable.HashMap.empty[Int, Long]
-    meta.foreach { case (t, b, nd, mtf, mdl) =>
-      val bound = Ranker.bm25TfNorm(mtf, mdl, avgdl)
-      ub(b) = ub.getOrElse(b, 0.0) + idf(t) * bound
-      bucketDocs(b) = bucketDocs.getOrElse(b, 0L) + nd
-    }
-    val ordered = ub.toSeq.sortBy(-_._2)
-    var acc = 0L
-    val phase1 = ordered.takeWhile { case (b, _) => val t = acc < 4L * k; acc += bucketDocs(b); t }.map(_._1)
-    val p1 = scoreBuckets(codes, idf, phase1.toSet, k)
-    val floor = if (p1.size >= k) p1(k - 1)._2 else Double.NegativeInfinity
-    val phase2 = ordered.filterNot(e => phase1.contains(e._1)).filter(_._2 >= floor).map(_._1)
-    val p2 = if (phase2.isEmpty) Nil else scoreBuckets(codes, idf, phase2.toSet, k)
-    (p1 ++ p2).sortBy { case (d, s) => (-s, d) }.take(k)
+      .as[(String, Int, Int, Long, Long)]
+      .map { case (t, b, nd, mtf, mdl) =>
+        (b, idfB.value(t) * Ranker.bm25TfNorm(mtf, mdl, ad), nd.toLong)
+      }
+      .toDF("bucket", "ub", "nd")
+      .groupBy($"bucket")
+      .agg(sum($"ub").as("ub"), sum($"nd").as("nd"))
+    bounds.cache()
+    try {
+      // phase 1: the most promising buckets covering ≥4k candidate docs;
+      // distributed top-L, re-collected with a bigger L if the prefix was
+      // too selective (rare — only for very sparse terms)
+      var lim = 64
+      var head = bounds.orderBy($"ub".desc, $"bucket")
+        .limit(lim).as[(Int, Double, Long)].collect()
+      while (head.map(_._3).sum < 4L * k && head.length == lim) {
+        lim *= 4
+        head = bounds.orderBy($"ub".desc, $"bucket")
+          .limit(lim).as[(Int, Double, Long)].collect()
+      }
+      var acc = 0L
+      val phase1 = head.takeWhile { case (_, _, nd) => val t = acc < 4L * k; acc += nd; t }.map(_._1)
+      val p1 = scoreBuckets(codes, idf, phase1.toSet, k)
+      val floor = if (p1.size >= k) p1(k - 1)._2 else Double.NegativeInfinity
+      val phase1Set = phase1.toSet
+      // phase 2: every remaining bucket whose bound beats the phase-1
+      // floor (those must be scored for exactness anyway). The cut gets a
+      // relative epsilon because the distributed Σub can differ from a
+      // sequential sum by reassociation ulps — scoring one extra bucket is
+      // harmless, skipping a borderline one is not.
+      val phase2 =
+        if (floor == Double.NegativeInfinity)
+          bounds.select($"bucket").as[Int].collect().filterNot(phase1Set)
+        else {
+          val cut = floor - 1e-9 * math.max(1.0, math.abs(floor))
+          bounds.filter($"ub" >= cut).select($"bucket").as[Int]
+            .collect().filterNot(phase1Set)
+        }
+      val p2 = if (phase2.isEmpty) Nil else scoreBuckets(codes, idf, phase2.toSet, k)
+      (p1 ++ p2).sortBy { case (d, s) => (-s, d) }.take(k)
+    } finally { bounds.unpersist(); () }
   }
 
   private def scoreBuckets(
