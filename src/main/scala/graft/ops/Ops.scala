@@ -218,14 +218,35 @@ object Ops {
          |SELECT doc_id, $recompose AS simhash FROM bits ORDER BY doc_id""".stripMargin
     })
 
-  /** top-20 doc pairs by 3-gram shingle Jaccard (near-dup ranking). */
+  /** LSH band-join candidate CTE shared by the exact-jaccard and cluster
+    * oracles (identical to dedup_minhash_pairs). */
+  private val candPairsSql = {
+    val cols = (0 until 8).map(seed =>
+      s"min(('0x' || substr(md5('s$seed|' || sh), 1, 15))::BIGINT) AS mh$seed").mkString(", ")
+    val bandSel = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '_' || mh${2 * b + 1}) AS bh FROM sig").mkString("\n  UNION ALL\n  ")
+    s"""sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSel
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** top-20 candidate pairs by exact 3-gram shingle Jaccard. Exact jaccard
+    * runs ONLY over the LSH candidate pairs (a raw shingle self-join is k²
+    * per shared shingle — brute force at 100 TB); per-pair cost is linear
+    * in the pair's shingle lists. */
   val ngramJaccard = Op("dedup_jaccard_top",
     (s, dir) => {
       val sh = shingles(s, dir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val cand = minhashPairs.query(s, dir).select(col("a"), col("b"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("i"))
       inter
         .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
@@ -236,39 +257,94 @@ object Ops {
         .limit(20)
     },
     Some(s"""WITH $shinglesSql,
+            |$candPairsSql,
             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             |inter AS (
-            |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-            |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            |  SELECT c.a, c.b, count(*) AS i
+            |  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
             |  GROUP BY 1, 2)
             |SELECT a, b, round(i::DOUBLE / (za.n + zb.n - i), 6) AS jaccard
             |FROM inter JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
             |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin))
+
+  /** duplicate-cluster resolution ("keep one"): connected components over
+    * the LSH candidate pairs, representative = min doc_id per component.
+    * Spark side: iterative min-label propagation (converges in
+    * O(component diameter) rounds — dup clusters are shallow; each round
+    * is one shuffle join, no driver-side graph). Docs in no pair are their
+    * own cluster. */
+  val dedupClusters = Op("dedup_clusters",
+    (s, dir) => {
+      val verts = docs(s, dir).select(col("doc_id"))
+      val pairs = minhashPairs.query(s, dir).select(col("a"), col("b"))
+      val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+      edges.cache()
+      var labels = verts.select(col("doc_id"), col("doc_id").as("cluster"))
+      var changed = true
+      var iter = 0
+      while (changed && iter < 32) {
+        val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .groupBy(col("dst").as("doc_id")).agg(min("cluster").as("nc"))
+        val next = labels.join(prop, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
+        next.cache()
+        changed = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("doc_id"), col("cluster"),
+          (col("doc_id") === col("cluster")).as("is_rep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql,
+            |$candPairsSql,
+            |edges AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+            |reach(s, t) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT r.s, e.b FROM reach r JOIN edges e ON e.a = r.t
+            |)
+            |SELECT s AS doc_id, min(t) AS cluster, (s = min(t)) AS is_rep
+            |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin))
 
   // ---------- similarity search (embeddings) ----------
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** brute-force cosine top-5 neighbors for vec_id < 5 (baseline ANN). */
+  /** exact cosine between columns `qv` and `embedding` (doubles, 5 dp). */
+  private val cosCol =
+    round(
+      expr("aggregate(zip_with(qv, embedding, (a,b) -> cast(a as double)*cast(b as double)), 0D, (acc,x) -> acc + x)") /
+        (sqrt(expr("aggregate(transform(qv, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)")) *
+          sqrt(expr("aggregate(transform(embedding, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)"))),
+      5).as("cos")
+
+  /** rank a (qid, vec_id, cos) frame to top-k per query. */
+  private def rankTopK(cos: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    cos.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rk")
+  }
+
+  /** brute-force cosine top-k neighbors for vec_id < 5 (the ANN baseline —
+    * exact, O(Q·N), what the LSH path's recall is measured against). */
+  def annBruteTopK(e0: DataFrame, k: Int): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cos = q.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosCol)
+    rankTopK(cos, k)
+  }
+
   val annBrute = Op("ann_cosine_topk",
-    (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val cos = q.join(e, col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          round(
-            expr("aggregate(zip_with(qv, embedding, (a,b) -> cast(a as double)*cast(b as double)), 0D, (acc,x) -> acc + x)") /
-              (sqrt(expr("aggregate(transform(qv, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)")) *
-                sqrt(expr("aggregate(transform(embedding, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)"))),
-            5).as("cos"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
-      cos.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
-        .orderBy("qid", "rk")
-    },
+    (s, dir) => annBruteTopK(emb(s, dir), 5),
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
            |cos AS (
            |  SELECT q.qid, e.vec_id,
@@ -281,65 +357,110 @@ object Ops {
            |       FROM cos)
            |SELECT qid, rk, vec_id, cos FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
 
-  /** LSH-bucketed ANN (the scale path): L=4 hash tables of 6 deterministic
-    * random hyperplanes each; candidates = vectors sharing any table bucket
-    * with the query (the standard multi-table trade-off: more tables →
-    * higher recall, smaller buckets → less work). Rows-only driver check
-    * (the hyperplane PRNG is not SQL-expressible); recall@5 vs the brute
-    * baseline is asserted in SurfaceSpec. */
-  val annLsh = Op("ann_lsh_topk",
-    (s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      // sf-test embeddings are near-random (top-5 cosine ≈ 0.3), so the
-      // collision probability per bit is only ~0.62: few bits + many tables.
-      // With genuinely clustered embeddings raise bits, lower tables.
-      val nTables = 8
-      val bitsPerTable = 3
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
-      // deterministic hyperplanes: component j of (table t, plane p) = ±1
-      val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables) { t =>
-        Array.tabulate(bitsPerTable) { p =>
-          Array.tabulate(dim) { j =>
-            val h = scala.util.hashing.MurmurHash3.stringHash(s"t$t|p$p|$j", 42)
-            if ((h & 1) == 0) 1.0 else -1.0
-          }
+  // ---- LSH ANN: the scale path ----
+
+  /** deterministic ±1 hyperplane component for (table t, plane p, dim j) —
+    * shared by the Spark plan and the generated DuckDB oracle so both
+    * bucket identically. */
+  private[ops] def lshSign(t: Int, p: Int, j: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(s"t$t|p$p|$j", 42)
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+  private[ops] val LshTables = 8
+  private[ops] val LshTargetBucket = 64
+
+  /** bits per table scale with corpus size: 2^bits buckets ≈ N/target, so
+    * a bucket stays ~LshTargetBucket vectors no matter the corpus — at
+    * 10^12 vectors that's ~34 bits, NOT a constant (a constant would make
+    * candidates ≈ N and degenerate to brute force). */
+  private[ops] def lshBits(n: Long): Int =
+    math.max(3, math.ceil(math.log(n.toDouble / LshTargetBucket) / math.log(2.0)).toInt)
+
+  /** LSH-bucketed ANN: L tables of `lshBits(N)` deterministic hyperplanes;
+    * candidates = vectors sharing a bucket with the query in any table
+    * under MULTIPROBE (the query probes its bucket plus all Hamming-1
+    * neighbors, recovering recall lost to narrow buckets). Exact cosine +
+    * top-k only over candidates. */
+  def annLshTopK(s: SparkSession, e0: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val bits = lshBits(n)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(LshTables, bits, dim)((t, p, j) => lshSign(t, p, j))
+    val planesB = s.sparkContext.broadcast(planes)
+    val withBucket = e.as[(Long, Seq[Float])].flatMap { case (id, v) =>
+      val ts = planesB.value
+      ts.indices.map { t =>
+        var bucket = 0
+        var p = 0
+        while (p < ts(t).length) {
+          var dot = 0.0
+          var j = 0
+          while (j < v.length) { dot += ts(t)(p)(j) * v(j); j += 1 }
+          if (dot > 0) bucket |= (1 << p)
+          p += 1
         }
+        (id, t, bucket)
       }
-      val planesB = s.sparkContext.broadcast(planes)
-      import s.implicits._
-      val withBucket = e.as[(Long, Seq[Float])].flatMap { case (id, v) =>
-        val ts = planesB.value
-        ts.indices.map { t =>
-          var bucket = 0
-          var p = 0
-          while (p < ts(t).length) {
-            var dot = 0.0
-            var j = 0
-            while (j < v.length) { dot += ts(t)(p)(j) * v(j); j += 1 }
-            if (dot > 0) bucket |= (1 << p)
-            p += 1
-          }
-          (id, t, bucket, v)
-        }
-      }.toDF("vec_id", "table", "bucket", "embedding")
-      val q = withBucket.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("table"), col("bucket"), col("embedding").as("qv"))
-      val cand = q.join(withBucket, Seq("table", "bucket"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("qv"), col("vec_id"), col("embedding")).distinct()
-      val cos = cand.select(col("qid"), col("vec_id"),
-        round(
-          expr("aggregate(zip_with(qv, embedding, (a,b) -> cast(a as double)*cast(b as double)), 0D, (acc,x) -> acc + x)") /
-            (sqrt(expr("aggregate(transform(qv, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)")) *
-              sqrt(expr("aggregate(transform(embedding, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)"))),
-          5).as("cos"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
-      cos.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("qid"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
-        .orderBy("qid", "rk")
-    },
-    None)
+    }.toDF("vec_id", "table", "bucket")
+    // multiprobe: bucket ⊕ {0, each single bit}
+    val masks = (0 +: (0 until bits).map(1 << _)).toArray
+    val qb = withBucket.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
+      .withColumn("m", explode(lit(masks)))
+      .select(col("qid"), col("table"), col("bucket").bitwiseXOR(col("m")).as("bucket"))
+    val cand = qb.join(withBucket, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cos = cand
+      .join(broadcast(qv), Seq("qid"))
+      .join(e, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), cosCol)
+    rankTopK(cos, k)
+  }
+
+  /** DuckDB mirror of annLshTopK for a FIXED (bits, dim): bucket per table
+    * from baked ±1 plane literals (same lshSign), multiprobe via XOR masks,
+    * exact cosine + rank. The driver gate runs at sf0.01 (N=500 → bits=3,
+    * dim=64). */
+  private[ops] def lshOracleSql(bits: Int, dim: Int): String = {
+    def planeLit(t: Int, p: Int): String =
+      (0 until dim).map(j => if (lshSign(t, p, j) > 0) "1" else "-1").mkString("[", ",", "]")
+    val tableSelects = (0 until LshTables).map { t =>
+      val bucket = (0 until bits).map { p =>
+        s"(CASE WHEN list_dot_product(${planeLit(t, p)}::DOUBLE[], v) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    val masks = (0 +: (0 until bits).map(1 << _).toList).map(m => s"($m)").mkString(",")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  $tableSelects
+       |),
+       |probes AS (
+       |  SELECT q.vec_id AS qid, q.tbl, xor(q.bucket::BIGINT, m.m::BIGINT) AS bucket
+       |  FROM b q CROSS JOIN (VALUES $masks) m(m) WHERE q.vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, c.vec_id
+       |  FROM probes p JOIN b c ON c.tbl = p.tbl AND c.bucket = p.bucket
+       |  WHERE c.vec_id <> p.qid),
+       |cos AS (
+       |  SELECT cd.qid, cd.vec_id,
+       |         round(list_dot_product(eq.v, ev.v) /
+       |               (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ev.v, ev.v))), 5) AS cos
+       |  FROM cand cd JOIN e eq ON eq.vec_id = cd.qid JOIN e ev ON ev.vec_id = cd.vec_id),
+       |rk AS (SELECT qid, vec_id, cos,
+       |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cos)
+       |SELECT qid, rk, vec_id, cos FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
+
+  val annLsh = Op("ann_lsh_topk",
+    (s, dir) => annLshTopK(s, emb(s, dir), 5),
+    Some(lshOracleSql(bits = 3, dim = 64)))
 
   // ---------- events: windows + sessionization ----------
 
@@ -459,7 +580,7 @@ object Ops {
 
   val all: Seq[Op] = Seq(
     tokenCount, qualityScore, langId, fingerprint,
-    dedupExact, minhashSig, minhashPairs, simhash, ngramJaccard,
+    dedupExact, minhashSig, minhashPairs, simhash, ngramJaccard, dedupClusters,
     annBrute, annLsh,
     eventsHourly, sessionize,
     q1Agg, q3Join, topCustomers, mmBinaryMeta)

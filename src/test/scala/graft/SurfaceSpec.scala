@@ -150,6 +150,42 @@ class SurfaceSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@5 $mean ($recalls)")
   }
 
+  test("ANN at scale: clustered corpus, buckets ≤1% of N, recall@5 ≥ 0.8") {
+    import spark.implicits._
+    // deterministic clustered embeddings: 64 centers ±small noise. Real
+    // embedding corpora are clustered — random vectors (the sf tables) are
+    // LSH's worst case, so the scale claim is asserted here.
+    val n = 10000
+    val dim = 16
+    val rows = (0 until n).map { i =>
+      val rnd = new scala.util.Random(1000 + i)
+      val c = i % 64
+      val crnd = new scala.util.Random(77 + c)
+      val center = Array.fill(dim)((crnd.nextDouble() * 2 - 1).toFloat)
+      val v = center.map(x => x + (rnd.nextDouble() * 0.12 - 0.06).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    e.cache()
+    val bits = {
+      // replicate lshBits: N=10000, target 64 → ceil(log2(156.25)) = 8
+      math.max(3, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+    }
+    assert(math.pow(2.0, -bits) <= 0.01, s"bucket fraction 2^-$bits must be ≤1% of N")
+    val brute = graft.ops.Ops.annBruteTopK(e, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val lsh = graft.ops.Ops.annLshTopK(spark, e, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val bs = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val ls = lsh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bs.map { case (q, top) =>
+      top.intersect(ls.getOrElse(q, Set.empty)).size.toDouble / top.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"clustered mean recall@5 $mean ($recalls)")
+    e.unpersist()
+  }
+
   test("close words: levenshtein neighbors surface the typo target") {
     val mem = new MemIndex(Analyzer())
     mem.addDoc("Test:T", "", Seq(("1", pickwick)))
