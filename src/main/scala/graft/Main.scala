@@ -105,6 +105,15 @@ object Main {
         .collect().foreach(r => println(f"  ${r.getString(0)}%-24s cf=${r.getLong(2)} df=${r.getLong(1)}"))
       spark.stop()
 
+    case "buildvoc" :: in :: out :: rest =>
+      // lemma file (lemma<TAB>forms...) → binary .voc usable via --voc
+      val stemmer = rest match {
+        case "--stemmer" :: s :: _ => s
+        case _ => "en"
+      }
+      val n = graft.text.VocBuilder.buildFile(in, out, stemmer)
+      println(s"built vocab: entries=$n stemmer=$stemmer → $out")
+
     case "serve" :: indexDir :: rest =>
       val spark = session()
       val port = rest.headOption.map(_.toInt).getOrElse(9001)
@@ -112,7 +121,7 @@ object Main {
 
     case _ =>
       System.err.println(
-        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | query <indexDir> <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | serve <indexDir> [port]")
+        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | buildvoc <lemmas.txt> <out.voc> [--stemmer en|ru|de|fr] | serve <indexDir> [port]")
       sys.exit(2)
   }
 

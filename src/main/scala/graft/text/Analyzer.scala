@@ -161,6 +161,8 @@ object Analyzer {
   def stemmerByName(name: String): String => String = name match {
     case "en" => EnglishStemmer.stem
     case "ru" => RussianStemmer.stem
+    case "de" => GermanStemmer.stem
+    case "fr" => FrenchStemmer.stem
     case _ => identity
   }
 
@@ -170,12 +172,16 @@ object Analyzer {
     }
 
   /** stem by the first range the word fully matches; digit range has no
-    * stemmer (identity). Cf. Build.cs:214-231. */
+    * stemmer (identity). Cf. Build.cs:214-231. Order matters exactly as in
+    * the reference table: an umlaut-free German word falls into the en
+    * range first (same behavior as the reference). */
   def stemByRange(word: String): String = {
     rangePatterns.find { case (_, p) => !p.matcher(word).find() } match {
       case Some(("en", _)) => EnglishStemmer.stem(word)
       case Some(("ru", _)) => RussianStemmer.stem(word)
-      case _ => word // digit / no bundled de/fr stemmer → identity
+      case Some(("de", _)) => GermanStemmer.stem(word)
+      case Some(("fr", _)) => FrenchStemmer.stem(word)
+      case _ => word // digit range → identity
     }
   }
 
