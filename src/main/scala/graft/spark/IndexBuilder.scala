@@ -14,16 +14,17 @@ import scala.collection.mutable.ArrayBuffer
   *   1. `doctext`: pages → byte-identical text extraction + header synthesis
   *      + deterministic docId assignment (range-sort by url, zipWithIndex) →
   *      forward-index Parquet. One pass over the corpus.
-  *   2. `docmeta`: per-doc page boundaries + BM25 doc length (cheap token
-  *      count) → Parquet; global N and avgdl aggregate.
-  *   3. `postings`: per-doc tokenize → map-side combined (term,doc) rows →
+  *   2. `postings`: ONE per-doc tokenize pass → map-side combined
+  *      (term,doc) rows + one meta row per doc (page map/name/docLen) →
   *      document-sharded `repartition(bucket)` (bucket = docId >> bits;
   *      hot terms shard across buckets with disjoint ascending docId
   *      ranges — the salting the north rule names — while every term of a
   *      document stays co-located so query evaluation never shuffles) →
   *      `sortWithinPartitions(term, bucket, docId)` → streaming run
-  *      block encoder → Parquet term-sorted within files (row-group
-  *      pruning on term).
+  *      block encoder → Parquet term-sorted within files (page-index
+  *      pruning on term; one row group per file).
+  *   3. `docmeta`: derived from the meta blocks (term-pruned scan, no
+  *      second tokenize); global N and avgdl aggregate.
   *   4. `termstats`: tiny agg over block metadata → Parquet.
   *
   * Design notes for 10^12 docs: no driver-side collection of corpus data;
@@ -62,7 +63,7 @@ object IndexBuilder {
 
   /** Storage layout version — bumped whenever the block schema/semantics
     * change, so stale indexes never silently resume across layouts. */
-  val LayoutVersion = "layout-v3-dlstrips"
+  val LayoutVersion = "layout-v4-fusedmeta"
 
   /** Signature of the input snapshot + build config + layout. Pins resume:
     * a stage marker only skips when all three match. */
@@ -143,31 +144,14 @@ object IndexBuilder {
 
     val docText = spark.read.parquet(docTextPath).as[DocTextRow]
 
-    // ---- stage 2: docmeta + global scalars ----
-    if (IndexStore.stageDone(indexDir, "docmeta", sig)) resumed += "docmeta"
-    else {
-      val bc = spark.sparkContext.broadcast(an)
-      val psz = cfg.pageSize
-      val docMeta = docText.mapPartitions { it =>
-        val a = bc.value
-        val cache = new DocTokenizer.CodeCache(a)
-        it.map { d =>
-          val di = DocTokenizer.indexGrouped(a, d.header, pagesOf(d.body, psz), cache)
-          DocMetaRow(d.docId, d.name, di.pageIds.toSeq, di.pageEnds.toSeq, di.docLen)
-        }
-      }
-      docMeta.write.mode("overwrite").parquet(docMetaPath)
-      val agg = spark.read.parquet(docMetaPath)
-        .agg(count(lit(1)), avg($"docLen")).head()
-      IndexStore.commitStage(indexDir, IndexStore.StageRecord(
-        "docmeta", sig, agg.getLong(0), dirBytes(docMetaPath),
-        Map("nDocs" -> agg.getLong(0).toString, "avgdl" -> agg.getDouble(1).toString)))
-    }
-    mark("stage2-docmeta")
-    val nDocs = IndexStore.readStageDetail(indexDir, "docmeta", "nDocs").get.toLong
-    val avgdl = IndexStore.readStageDetail(indexDir, "docmeta", "avgdl").get.toDouble
-
-    // ---- stage 3: postings blocks ----
+    // ---- stage 2: postings blocks (ONE tokenize pass) ----
+    // Tokenization is the build's dominant CPU cost, so it runs exactly
+    // once: the same pass emits the per-(term,doc) posting rows AND one
+    // meta row per document (page boundaries + name + docLen, packed into
+    // the posting-row payload). The meta rows ride the same bucket shuffle
+    // and land in the postings files as '\u0000md' blocks; stage 3 derives
+    // the docmeta table from them with a cheap term-pruned scan — no
+    // second tokenize, no cached intermediate.
     if (IndexStore.stageDone(indexDir, "postings", sig)) resumed += "postings"
     else {
       val bc = spark.sparkContext.broadcast(an)
@@ -189,10 +173,13 @@ object IndexBuilder {
           }
           val bucket = (d.docId >> bits).toInt
           import scala.jdk.CollectionConverters._
-          byTerm.entrySet().iterator().asScala.map { e =>
-            val arr = e.getValue.toArray // already ascending per doc
-            TermDocRow(e.getKey, bucket, d.docId, arr.length, di.docLen, Varint.encode(arr))
-          }
+          val metaRow = TermDocRow(MetaTerm, bucket, d.docId, 0, di.docLen,
+            encodeMetaPayload(d.name, di.pageIds, di.pageEnds))
+          Iterator.single(metaRow) ++
+            byTerm.entrySet().iterator().asScala.map { e =>
+              val arr = e.getValue.toArray // already ascending per doc
+              TermDocRow(e.getKey, bucket, d.docId, arr.length, di.docLen, Varint.encode(arr))
+            }
         }
       }
 
@@ -207,19 +194,55 @@ object IndexBuilder {
       val blocks = termDocs
         .repartition(shufflePartitions, $"bucket")
         .sortWithinPartitions($"term", $"bucket", $"docId")
-        .mapPartitions(encodeBlocks(_, avgdl))
+        .mapPartitions(encodeBlocks)
 
       blocks.write.mode("overwrite")
         .options(postingsWriteOptions).parquet(postingsPath)
       verifySingleRowGroup(spark, postingsPath)
+      // ONE column-pruned job computes every global scalar: total postings
+      // + block count, and N/sumDl decoded from the meta blocks' dls
+      // channel (no separate docmeta aggregate job).
       val m = spark.read.parquet(postingsPath)
-        .agg(sum($"nPostings"), count(lit(1))).head()
+        .select($"term", $"nDocs", $"nPostings", $"dls")
+        .as[(String, Int, Long, Array[Byte])]
+        .mapPartitions { it =>
+          var nPost = 0L; var nBlocks = 0L; var nDocs = 0L; var sumDl = 0L
+          it.foreach { case (term, nd, np, dls) =>
+            nBlocks += 1
+            nPost += np
+            if (term == MetaTerm) {
+              nDocs += nd
+              val r = new Varint.Reader(dls)
+              var i = 0
+              while (i < nd) { sumDl += r.nextRaw(); i += 1 }
+            }
+          }
+          Iterator.single((nPost, nBlocks, nDocs, sumDl))
+        }
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+      val avgdlStr = (if (m._3 == 0) 1.0 else m._4.toDouble / m._3).toString
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
-        "postings", sig, m.getLong(1), dirBytes(postingsPath),
-        Map("totalPostings" -> m.getLong(0).toString)))
+        "postings", sig, m._2, dirBytes(postingsPath),
+        Map("totalPostings" -> m._1.toString,
+          "nDocs" -> m._3.toString, "avgdl" -> avgdlStr)))
     }
-    mark("stage3-postings")
+    mark("stage2-postings")
     val totalPostings = IndexStore.readStageDetail(indexDir, "postings", "totalPostings").get.toLong
+    val nDocs = IndexStore.readStageDetail(indexDir, "postings", "nDocs").get.toLong
+    val avgdl = IndexStore.readStageDetail(indexDir, "postings", "avgdl").get.toDouble
+
+    // ---- stage 3: docmeta table derived from the meta blocks ----
+    if (IndexStore.stageDone(indexDir, "docmeta", sig)) resumed += "docmeta"
+    else {
+      val docMeta = spark.read.parquet(postingsPath).as[PostingBlockRow]
+        .filter($"term" === MetaTerm)
+        .flatMap(decodeMetaBlock)
+      docMeta.write.mode("overwrite").parquet(docMetaPath)
+      IndexStore.commitStage(indexDir, IndexStore.StageRecord(
+        "docmeta", sig, nDocs, dirBytes(docMetaPath),
+        Map("nDocs" -> nDocs.toString, "avgdl" -> avgdl.toString)))
+    }
+    mark("stage3-docmeta")
 
     // ---- stage 4: term dictionary from block metadata (tiny agg) ----
     // on resume, reuse the versioned dir the completed stage recorded
@@ -228,16 +251,18 @@ object IndexBuilder {
         resumed += "termstats"
         IndexStore.readStageDetail(indexDir, "termstats", "dir").getOrElse(termStatsDirName)
       } else {
-        // range-partitioned by term: parallel write (a web-scale vocab is
-        // billions of entries — a single-partition sort/write would be the
-        // build's bottleneck and an OOM risk) and files stay term-sorted
-        // for row-group pruning on dictionary lookups.
+        // hash-partitioned by term with a per-file sort: parallel write (a
+        // web-scale vocab is billions of entries — a single-partition
+        // sort/write would be the build's bottleneck and an OOM risk) and
+        // rows stay term-sorted WITHIN each file so parquet page indexes
+        // prune dictionary lookups. (Hash, not range: a range partitioner
+        // would sample — i.e. execute — the aggregate subtree twice.)
         val statsParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
         spark.read.parquet(postingsPath)
-          .filter($"term" =!= DlStripTerm)
+          .filter($"term" =!= DlStripTerm && $"term" =!= MetaTerm)
           .groupBy($"term")
           .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
-          .repartitionByRange(statsParts, $"term").sortWithinPartitions($"term")
+          .repartition(statsParts, $"term").sortWithinPartitions($"term")
           .write.mode("overwrite").parquet(termStatsPath)
         IndexStore.commitStage(indexDir, IndexStore.StageRecord(
           "termstats", sig, -1L, dirBytes(termStatsPath), Map("dir" -> termStatsDirName)))
@@ -313,15 +338,20 @@ object IndexBuilder {
       else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
     val files = walk(new java.io.File(dir))
     if (files.isEmpty) return
-    val bad = spark.sparkContext
-      .parallelize(files, math.min(files.size, spark.sparkContext.defaultParallelism))
-      .map { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p), new org.apache.hadoop.conf.Configuration())
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try (p, r.getRowGroups.size()) finally r.close()
-      }
-      .filter(_._2 > 1).collect()
+    def rowGroups(p: String): (String, Int) = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (p, r.getRowGroups.size()) finally r.close()
+    }
+    // footer reads are cheap: stay driver-side for few files (no extra
+    // Spark job in the build's fixed-cost budget), distribute when many
+    val bad =
+      if (files.size <= 64) files.map(rowGroups).filter(_._2 > 1).toArray
+      else spark.sparkContext
+        .parallelize(files, math.min(files.size, spark.sparkContext.defaultParallelism))
+        .map(rowGroups)
+        .filter(_._2 > 1).collect()
     require(bad.isEmpty,
       s"postings files with >1 row group (doc-shard invariant broken): " +
         bad.take(3).map { case (p, n) => s"$p($n)" }.mkString(", ") +
@@ -345,10 +375,55 @@ object IndexBuilder {
     * (\u0000 prefix) and is excluded from termstats. */
   val DlStripTerm = "\u0000dl"
 
+  /** Sentinel "term" of per-doc metadata rows (name, page boundaries,
+    * docLen), emitted by the SAME tokenize pass as the postings so the
+    * corpus is tokenized exactly once. Blocked per bucket in the postings
+    * table; the docmeta table is derived from these blocks. Excluded from
+    * termstats and never matched by query-code filters. */
+  val MetaTerm = "\u0000md"
+
+  /** pack (name, pageIds, pageEnds) into a meta row payload. */
+  def encodeMetaPayload(name: String, pageIds: Array[String], pageEnds: Array[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(64 + name.length)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeUTF(name)
+    out.writeInt(pageIds.length)
+    var i = 0
+    while (i < pageIds.length) { out.writeUTF(pageIds(i)); out.writeLong(pageEnds(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** decode one MetaTerm block into DocMetaRows. */
+  def decodeMetaBlock(b: PostingBlockRow): Iterator[DocMetaRow] = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val lenR = new Varint.Reader(b.tfs)
+    val dlR = new Varint.Reader(b.dls)
+    var off = 0
+    (0 until b.nDocs).iterator.map { _ =>
+      val d = docR.next()
+      val len = lenR.nextRaw().toInt
+      val dl = dlR.nextRaw()
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(b.posDeltas, off, len))
+      off += len
+      val name = in.readUTF()
+      val n = in.readInt()
+      val pids = new Array[String](n)
+      val pends = new Array[Long](n)
+      var i = 0
+      while (i < n) { pids(i) = in.readUTF(); pends(i) = in.readLong(); i += 1 }
+      DocMetaRow(d, name, pids.toSeq, pends.toSeq, dl)
+    }
+  }
+
   /** Streaming (term,bucket)-run block encoder over sorted TermDocRows.
-    * Also collects each bucket's docId→dl map and emits one dl-strip row
-    * per bucket after the posting blocks. */
-  def encodeBlocks(it: Iterator[TermDocRow], avgdl: Double): Iterator[PostingBlockRow] = {
+    * MetaTerm rows block per bucket with their payloads concatenated; all
+    * rows feed each bucket's docId→dl map, emitted as one dl-strip row per
+    * bucket after the posting blocks. Block-max metadata is (maxTf, minDl)
+    * only — bounds are recomputed with the CURRENT avgdl at query time, so
+    * encoding needs no global scalars (lets the build tokenize once). */
+  def encodeBlocks(it: Iterator[TermDocRow]): Iterator[PostingBlockRow] = {
     val dlByBucket = new java.util.HashMap[Int, java.util.TreeMap[java.lang.Long, java.lang.Long]]()
     val main: Iterator[PostingBlockRow] = new Iterator[PostingBlockRow] {
       private val buf = it.buffered
@@ -357,37 +432,54 @@ object IndexBuilder {
         val head = buf.next()
         val term = head.term
         val bucket = head.bucket
-        val docIds = new graft.core.LongVec(); docIds += head.docId
-        val tfs = new graft.core.LongVec(); tfs += head.tf.toLong
-        val dls = new graft.core.LongVec(); dls += head.dl
-        val pos = new graft.core.ByteVec(head.coords.length * 2)
-        pos ++= head.coords
-        var nPostings = head.tf.toLong
-        var maxTfNorm = graft.query.Ranker.bm25TfNorm(head.tf.toLong, head.dl, avgdl)
-        var maxTf = head.tf.toLong
-        var minDl = head.dl
-        while (buf.hasNext && buf.head.term == term && buf.head.bucket == bucket) {
-          val r = buf.next()
-          docIds += r.docId
-          tfs += r.tf.toLong
-          dls += r.dl
-          pos ++= r.coords
-          nPostings += r.tf
-          if (r.tf > maxTf) maxTf = r.tf
-          if (r.dl < minDl) minDl = r.dl
-          val tn = graft.query.Ranker.bm25TfNorm(r.tf.toLong, r.dl, avgdl)
-          if (tn > maxTfNorm) maxTfNorm = tn
+        def noteDl(docId: Long, dl: Long): Unit = {
+          var bm = dlByBucket.get(bucket)
+          if (bm == null) { bm = new java.util.TreeMap(); dlByBucket.put(bucket, bm) }
+          bm.put(docId, dl)
         }
-        // record docId→dl once per bucket (strip row emitted at the end)
-        var bm = dlByBucket.get(bucket)
-        if (bm == null) { bm = new java.util.TreeMap(); dlByBucket.put(bucket, bm) }
-        var di = 0
-        while (di < docIds.length) { bm.put(docIds(di), dls(di)); di += 1 }
-        // maxTf/minDl give an avgdl-independent upper bound for block-max
-        // WAND that stays valid when incremental appends drift avgdl
-        PostingBlockRow(term, bucket, docIds(0), docIds.length, nPostings,
-          Varint.encode(docIds.toArray), Varint.encodeRaw(tfs.toArray),
-          Array.emptyByteArray, pos.toArray, maxTfNorm, maxTf, minDl)
+        if (term == MetaTerm) {
+          val docIds = new graft.core.LongVec(); docIds += head.docId
+          val lens = new graft.core.LongVec(); lens += head.coords.length.toLong
+          val dls = new graft.core.LongVec(); dls += head.dl
+          val payload = new graft.core.ByteVec(head.coords.length * 2)
+          payload ++= head.coords
+          noteDl(head.docId, head.dl)
+          while (buf.hasNext && buf.head.term == term && buf.head.bucket == bucket) {
+            val r = buf.next()
+            docIds += r.docId
+            lens += r.coords.length.toLong
+            dls += r.dl
+            payload ++= r.coords
+            noteDl(r.docId, r.dl)
+          }
+          PostingBlockRow(term, bucket, docIds(0), docIds.length, 0L,
+            Varint.encode(docIds.toArray), Varint.encodeRaw(lens.toArray),
+            Varint.encodeRaw(dls.toArray), payload.toArray, 0.0, 0L, 0L)
+        } else {
+          val docIds = new graft.core.LongVec(); docIds += head.docId
+          val tfs = new graft.core.LongVec(); tfs += head.tf.toLong
+          val pos = new graft.core.ByteVec(head.coords.length * 2)
+          pos ++= head.coords
+          var nPostings = head.tf.toLong
+          var maxTf = head.tf.toLong
+          var minDl = head.dl
+          noteDl(head.docId, head.dl)
+          while (buf.hasNext && buf.head.term == term && buf.head.bucket == bucket) {
+            val r = buf.next()
+            docIds += r.docId
+            tfs += r.tf.toLong
+            pos ++= r.coords
+            nPostings += r.tf
+            if (r.tf > maxTf) maxTf = r.tf
+            if (r.dl < minDl) minDl = r.dl
+            noteDl(r.docId, r.dl)
+          }
+          // maxTf/minDl give an avgdl-independent upper bound for block-max
+          // WAND that stays valid when incremental appends drift avgdl
+          PostingBlockRow(term, bucket, docIds(0), docIds.length, nPostings,
+            Varint.encode(docIds.toArray), Varint.encodeRaw(tfs.toArray),
+            Array.emptyByteArray, pos.toArray, 0.0, maxTf, minDl)
+        }
       }
     }
     def strips: Iterator[PostingBlockRow] = {

@@ -114,27 +114,9 @@ object StreamingIndexer {
     // read back just this batch's docs (its own directory) for the passes
     val batchText = spark.read.parquet(docTextDir).as[DocTextRow]
 
+    // ONE tokenize pass (same fusion as the full build): postings + meta
+    // rows together; docmeta is derived from the meta blocks afterwards.
     val bc = spark.sparkContext.broadcast(an)
-    val docMeta = batchText.mapPartitions { it =>
-      val a = bc.value
-      val cache = new DocTokenizer.CodeCache(a)
-      it.map { d =>
-        val di = DocTokenizer.indexGrouped(a, d.header, IndexBuilder.pagesOf(d.body, psz), cache)
-        DocMetaRow(d.docId, d.name, di.pageIds.toSeq, di.pageEnds.toSeq, di.docLen)
-      }
-    }
-    docMeta.write.mode("overwrite").parquet(docMetaDir)
-    val agg = spark.read.parquet(docMetaDir)
-      .agg(count(lit(1)), coalesce(sum($"docLen"), lit(0L)), coalesce(max($"docId"), lit(nextDocId - 1)))
-      .head()
-    val batchDocs = agg.getLong(0)
-    val batchDl = agg.getLong(1)
-    val maxDocId = agg.getLong(2)
-
-    val nDocs = prevDocs + batchDocs
-    val sumDl = prevDl + batchDl
-    val avgdl = if (nDocs == 0) 1.0 else sumDl.toDouble / nDocs
-
     val termDocs: Dataset[TermDocRow] = batchText.mapPartitions { it =>
       val a = bc.value
       val cache = new DocTokenizer.CodeCache(a)
@@ -150,20 +132,37 @@ object StreamingIndexer {
         }
         val bucket = (d.docId >> bits).toInt
         import scala.jdk.CollectionConverters._
-        byTerm.entrySet().iterator().asScala.map { e =>
-          val arr = e.getValue.toArray
-          TermDocRow(e.getKey, bucket, d.docId, arr.length, di.docLen, Varint.encode(arr))
-        }
+        Iterator.single(TermDocRow(IndexBuilder.MetaTerm, bucket, d.docId, 0, di.docLen,
+          IndexBuilder.encodeMetaPayload(d.name, di.pageIds, di.pageEnds))) ++
+          byTerm.entrySet().iterator().asScala.map { e =>
+            val arr = e.getValue.toArray
+            TermDocRow(e.getKey, bucket, d.docId, arr.length, di.docLen, Varint.encode(arr))
+          }
       }
     }
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val blocks = termDocs
       .repartition(shufflePartitions, $"bucket")
       .sortWithinPartitions($"term", $"bucket", $"docId")
-      .mapPartitions(IndexBuilder.encodeBlocks(_, avgdl))
+      .mapPartitions(IndexBuilder.encodeBlocks)
     blocks.write.mode("overwrite")
       .options(IndexBuilder.postingsWriteOptions).parquet(postingsDir)
     IndexBuilder.verifySingleRowGroup(spark, postingsDir)
+
+    val docMeta = spark.read.parquet(postingsDir).as[PostingBlockRow]
+      .filter($"term" === IndexBuilder.MetaTerm)
+      .flatMap(IndexBuilder.decodeMetaBlock)
+    docMeta.write.mode("overwrite").parquet(docMetaDir)
+    val agg = spark.read.parquet(docMetaDir)
+      .agg(count(lit(1)), coalesce(sum($"docLen"), lit(0L)), coalesce(max($"docId"), lit(nextDocId - 1)))
+      .head()
+    val batchDocs = agg.getLong(0)
+    val batchDl = agg.getLong(1)
+    val maxDocId = agg.getLong(2)
+
+    val nDocs = prevDocs + batchDocs
+    val sumDl = prevDl + batchDl
+    val avgdl = if (nDocs == 0) 1.0 else sumDl.toDouble / nDocs
 
     // term dictionary: INCREMENTAL merge of the previous snapshot's
     // termstats with this batch's delta (O(vocab + batch) — never re-reads
@@ -173,7 +172,7 @@ object StreamingIndexer {
     val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
     val termStatsDir = s"termstats-v$version"
     val batchDelta = spark.read.parquet(postingsDir)
-      .filter($"term" =!= IndexBuilder.DlStripTerm)
+      .filter($"term" =!= IndexBuilder.DlStripTerm && $"term" =!= IndexBuilder.MetaTerm)
       .groupBy($"term")
       .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
     val prevFiles = baseSnap.toSeq.flatMap(_.files.getOrElse("termstats", Nil))
@@ -184,7 +183,7 @@ object StreamingIndexer {
         .unionByName(batchDelta)
         .groupBy($"term").agg(sum($"df").as("df"), sum($"cf").as("cf"))
     mergedStats
-      .repartitionByRange(shufflePartitions, $"term").sortWithinPartitions($"term")
+      .repartition(shufflePartitions, $"term").sortWithinPartitions($"term")
       .write.mode("overwrite").parquet(s"$indexDir/$termStatsDir")
 
     val batchPostings = spark.read.parquet(postingsDir)

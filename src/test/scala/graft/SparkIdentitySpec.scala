@@ -136,6 +136,27 @@ class SparkIdentitySpec extends AnyFunSuite {
     assert(out.docs.map(_.docId) == mem.search("old").docs.map(_.docId))
   }
 
+  test("closeWords: distributed levenshtein neighbors match the reference engine") {
+    Seq("lafy", "tupmen", "runing").foreach { typo =>
+      assert(searcher.closeWords(typo) == mem.closeWords(typo), s"closeWords($typo)")
+    }
+    assert(searcher.closeWords("lafy").contains("lady"))
+  }
+
+  test("typed header coercion (ConvertToObject port)") {
+    import graft.query.HeaderFields
+    assert(HeaderFields.typedValue("190") == 190L)
+    assert(HeaderFields.typedValue("-42") == -42L)
+    assert(HeaderFields.typedValue("3.14") == BigDecimal("3.14"))
+    assert(HeaderFields.typedValue("Author 3") == "Author 3") // mixed → string
+    assert(HeaderFields.typedValue("free text") == "free text")
+    val m = HeaderFields.convertToObject("Name=x\nSize=190\nPi=3.14\nBad\nTitle=Doc 1\n")
+    assert(m == Map("Name" -> "x", "Size" -> 190L, "Pi" -> BigDecimal("3.14"), "Title" -> "Doc 1"))
+    // flows through search results
+    val hit = searcher.search("merriment {Source=web}", SearchOptions()).docs.head
+    assert(hit.typedHeaders.get("Source").contains("web"))
+  }
+
   test("extraction is byte-identical per url (spark vs local)") {
     import spark.implicits._
     val got = spark.read.parquet(s"$indexDir/doctext")
