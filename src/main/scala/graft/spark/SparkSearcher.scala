@@ -517,12 +517,21 @@ final class SparkSearcher(
         }
       }
 
-    val top = perBucket.collect()
+    // two-level merge: per-task top-k (above) → distributed per-query
+    // merge → the driver receives only Q×k rows, not Q×k×#tasks (which at
+    // web scale is the whole point of the per-bucket heaps). Merging picks
+    // max entries — docs are fully scored within their shard, so no
+    // re-accumulation and scores stay bit-identical.
+    val top = perBucket
+      .groupByKey(_._1)
+      .mapGroups { (qi, rows) =>
+        (qi, rows.map(r => (r._2, r._3)).toArray
+          .sortBy { case (d, s) => (-s, d) }.take(k).toSeq)
+      }
+      .collect()
     mark("scoreJob")
     val out = Array.fill(queries.length)(Seq.empty[(Long, Double)])
-    top.groupBy(_._1).foreach { case (qi, rows) =>
-      out(qi) = rows.map(r => (r._2, r._3)).toSeq.sortBy { case (d, s) => (-s, d) }.take(k)
-    }
+    top.foreach { case (qi, rows) => out(qi) = rows }
     out.toSeq
   }
 
