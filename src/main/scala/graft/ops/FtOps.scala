@@ -136,5 +136,32 @@ object FtOps {
             |FROM ts WHERE term LIKE 'va%' AND length(term) > 2
             |ORDER BY cf DESC, term LIMIT 10""".stripMargin))
 
-  val all: Seq[Op] = Seq(termStats, topTerms, bm25TopK, searchAnd, searchPhrase, suggest)
+  /** engine close-words (levenshtein over the term dictionary, ≙
+    * GetCloseWords Search.cs) vs DuckDB's levenshtein over the same
+    * recomputed dictionary. */
+  val closeWords = Op("ft_close_words",
+    (s, dir) => {
+      import s.implicits._
+      searcherFor(s, dir).closeWords("vectr", 10).toDF("term")
+    },
+    Some(s"""WITH $toksSql,
+            |ts AS (SELECT DISTINCT term FROM f)
+            |SELECT term FROM ts
+            |ORDER BY levenshtein(term, 'vectr'), term LIMIT 10""".stripMargin))
+
+  /** engine wildcard expansion (GetLikeWords: letter-first dictionary keys
+    * matching an unanchored regex, ordinal order, cap). */
+  val wildcard = Op("ft_wildcard",
+    (s, dir) => {
+      import s.implicits._
+      searcherFor(s, dir).likeWords("ve.*r", 100).toDF("term")
+    },
+    Some(s"""WITH $toksSql,
+            |ts AS (SELECT DISTINCT term FROM f)
+            |SELECT term FROM ts
+            |WHERE regexp_matches(term, 've.*r') AND regexp_matches(term, '^[[:alpha:]]')
+            |ORDER BY term LIMIT 100""".stripMargin))
+
+  val all: Seq[Op] = Seq(termStats, topTerms, bm25TopK, searchAnd, searchPhrase,
+    suggest, closeWords, wildcard)
 }
