@@ -423,7 +423,16 @@ object IndexBuilder {
     * bucket after the posting blocks. Block-max metadata is (maxTf, minDl)
     * only — bounds are recomputed with the CURRENT avgdl at query time, so
     * encoding needs no global scalars (lets the build tokenize once). */
-  def encodeBlocks(it: Iterator[TermDocRow]): Iterator[PostingBlockRow] = {
+  /** Max docs per posting block row: a hot term in a full 2^16-doc bucket
+    * would otherwise make one giant row (coarse WAND skipping, unbounded
+    * decode unit). Sub-blocks of one (term,bucket) run carry disjoint
+    * ascending docId ranges, so every decoder just sees more rows. */
+  val MaxBlockDocs: Int = 1 << 14
+
+  def encodeBlocks(it: Iterator[TermDocRow]): Iterator[PostingBlockRow] =
+    encodeBlocks(it, MaxBlockDocs)
+
+  def encodeBlocks(it: Iterator[TermDocRow], maxBlockDocs: Int): Iterator[PostingBlockRow] = {
     val dlByBucket = new java.util.HashMap[Int, java.util.TreeMap[java.lang.Long, java.lang.Long]]()
     val main: Iterator[PostingBlockRow] = new Iterator[PostingBlockRow] {
       private val buf = it.buffered
@@ -444,7 +453,8 @@ object IndexBuilder {
           val payload = new graft.core.ByteVec(head.coords.length * 2)
           payload ++= head.coords
           noteDl(head.docId, head.dl)
-          while (buf.hasNext && buf.head.term == term && buf.head.bucket == bucket) {
+          while (docIds.length < maxBlockDocs &&
+            buf.hasNext && buf.head.term == term && buf.head.bucket == bucket) {
             val r = buf.next()
             docIds += r.docId
             lens += r.coords.length.toLong
@@ -464,7 +474,8 @@ object IndexBuilder {
           var maxTf = head.tf.toLong
           var minDl = head.dl
           noteDl(head.docId, head.dl)
-          while (buf.hasNext && buf.head.term == term && buf.head.bucket == bucket) {
+          while (docIds.length < maxBlockDocs &&
+            buf.hasNext && buf.head.term == term && buf.head.bucket == bucket) {
             val r = buf.next()
             docIds += r.docId
             tfs += r.tf.toLong

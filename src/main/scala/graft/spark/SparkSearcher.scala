@@ -81,6 +81,31 @@ final class SparkSearcher(
     ds.cache()
     ds
   }
+
+  /** Driver-side dictionary cache for small vocabularies: one scan at
+    * first use caches term → (df, cf) plus a UTF8-binary-ordered key array
+    * (the same collation Spark's orderBy uses), making existing / dfOf /
+    * suggest / likeWords / closeWords driver-local — a dictionary Spark
+    * job per query batch is pure fixed cost at high QPS. Web-scale vocabs
+    * (> 1M terms) keep the distributed Dataset path. */
+  private val DictCacheMaxTerms = 1000000L
+  @transient private lazy val dictCache: Option[(java.util.HashMap[String, (Long, Long)], Array[String])] = {
+    if (termStats.count() > DictCacheMaxTerms) None
+    else {
+      val rows = termStats.collect()
+      val m = new java.util.HashMap[String, (Long, Long)](rows.length * 2)
+      rows.foreach(r => m.put(r.term, (r.df, r.cf)))
+      val keyed = rows.map(r => (r.term.getBytes(java.nio.charset.StandardCharsets.UTF_8), r.term))
+      java.util.Arrays.sort(keyed, (a: (Array[Byte], String), b: (Array[Byte], String)) =>
+        java.util.Arrays.compareUnsigned(a._1, b._1))
+      Some((m, keyed.map(_._2)))
+    }
+  }
+  /** UTF8-binary comparator matching Spark's default string ordering. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
   @transient lazy val docMeta = readTable("docmeta", "docmeta").as[DocMetaRow]
   @transient private lazy val postings = readTable("postings", "postings").as[PostingBlockRow]
   @transient private lazy val docText = readTable("doctext", "doctext").as[DocTextRow]
@@ -92,26 +117,43 @@ final class SparkSearcher(
 
   override def existing(codes: Seq[String]): Set[String] =
     if (codes.isEmpty) Set.empty
-    else {
-      val got = termStats.filter($"term".isin(codes: _*))
-        .select($"term", $"df").as[(String, Long)].collect().toMap
-      lastLookup = got
-      got.keySet
+    else dictCache match {
+      case Some((m, _)) =>
+        val got = codes.iterator.flatMap(c => Option(m.get(c)).map(v => c -> v._1)).toMap
+        lastLookup = got
+        got.keySet
+      case None =>
+        val got = termStats.filter($"term".isin(codes: _*))
+          .select($"term", $"df").as[(String, Long)].collect().toMap
+        lastLookup = got
+        got.keySet
     }
 
-  override def likeWords(regex: String, limit: Int): Seq[String] =
-    termStats
-      .filter($"term".rlike(regex))
-      .filter(row => row.term.nonEmpty && Character.isLetter(row.term.charAt(0)))
-      .orderBy($"term") // UTF8_BINARY default collation = ordinal order
-      .limit(limit).select($"term").as[String].collect().toSeq
+  override def likeWords(regex: String, limit: Int): Seq[String] = dictCache match {
+    case Some((_, keys)) =>
+      val p = java.util.regex.Pattern.compile(regex)
+      keys.iterator // already UTF8-binary (= ordinal) order
+        .filter(k => k.nonEmpty && Character.isLetter(k.charAt(0)) && p.matcher(k).find())
+        .take(limit).toSeq
+    case None =>
+      termStats
+        .filter($"term".rlike(regex))
+        .filter(row => row.term.nonEmpty && Character.isLetter(row.term.charAt(0)))
+        .orderBy($"term") // UTF8_BINARY default collation = ordinal order
+        .limit(limit).select($"term").as[String].collect().toSeq
+  }
 
   def dfOf(codes: Seq[String]): Map[String, Long] = {
     if (codes.isEmpty) return Map.empty
-    val memo = lastLookup
-    if (codes.forall(memo.contains)) memo.view.filterKeys(codes.toSet).toMap
-    else termStats.filter($"term".isin(codes: _*))
-      .select($"term", $"df").as[(String, Long)].collect().toMap
+    dictCache match {
+      case Some((m, _)) =>
+        codes.iterator.flatMap(c => Option(m.get(c)).map(v => c -> v._1)).toMap
+      case None =>
+        val memo = lastLookup
+        if (codes.forall(memo.contains)) memo.view.filterKeys(codes.toSet).toMap
+        else termStats.filter($"term".isin(codes: _*))
+          .select($"term", $"df").as[(String, Long)].collect().toMap
+    }
   }
 
   def suggest(req: String, n: Int = 10): Seq[String] = {
@@ -120,19 +162,56 @@ final class SparkSearcher(
     if (pieces.isEmpty) return Nil
     val lastword = pieces.last.toLowerCase(java.util.Locale.ROOT)
     if (lastword.length < 2) return Nil
-    termStats
-      .filter($"term".startsWith(lastword) && length($"term") > lastword.length)
-      .orderBy($"cf".desc, $"term")
-      .limit(n).select($"term").as[String].collect().toSeq
-      .filter(k => k.charAt(0) >= 'A')
-      .map(_.substring(lastword.length))
+    val top: Seq[String] = dictCache match {
+      case Some((m, keys)) =>
+        keys.iterator
+          .filter(k => k.startsWith(lastword) && k.length > lastword.length)
+          .toSeq
+          .sortWith { (a, b) =>
+            val ca = m.get(a)._2; val cb = m.get(b)._2
+            if (ca != cb) ca > cb else utf8Lt(a, b) // cf desc, term asc
+          }
+          .take(n)
+      case None =>
+        termStats
+          .filter($"term".startsWith(lastword) && length($"term") > lastword.length)
+          .orderBy($"cf".desc, $"term")
+          .limit(n).select($"term").as[String].collect().toSeq
+    }
+    top.filter(k => k.charAt(0) >= 'A').map(_.substring(lastword.length))
   }
 
-  def closeWords(word: String, n: Int = 10): Seq[String] =
-    termStats
-      .withColumn("lev", levenshtein($"term", lit(word)))
-      .orderBy($"lev", $"term")
-      .limit(n).select($"term").as[String].collect().toSeq
+  def closeWords(word: String, n: Int = 10): Seq[String] = dictCache match {
+    case Some((_, keys)) =>
+      // stable sort over UTF8-ordered keys ≡ orderBy(lev, term)
+      keys.sortBy(k => levDistance(k, word)).take(n).toSeq
+    case None =>
+      termStats
+        .withColumn("lev", levenshtein($"term", lit(word)))
+        .orderBy($"lev", $"term")
+        .limit(n).select($"term").as[String].collect().toSeq
+  }
+
+  /** standard edit distance — same definition as Spark's levenshtein. */
+  private def levDistance(a: String, b: String): Int = {
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var j = 0
+    while (j <= b.length) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var k = 1
+      while (k <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(k - 1)) 0 else 1
+        cur(k) = math.min(math.min(prev(k) + 1, cur(k - 1) + 1), prev(k - 1) + cost)
+        k += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(b.length)
+  }
 
   def plan(req: String, opts: SearchOptions = SearchOptions()): QueryPlan = {
     val parsed = QueryParser.parse(req, analyzer.stopWords)
@@ -559,9 +638,13 @@ final class SparkSearcher(
       .select($"term", $"bucket", $"nDocs", $"maxTf", $"minDl")
       .as[(String, Int, Int, Long, Long)]
       .map { case (t, b, nd, mtf, mdl) =>
-        (b, idfB.value(t) * Ranker.bm25TfNorm(mtf, mdl, ad), nd.toLong)
+        (t, b, idfB.value(t) * Ranker.bm25TfNorm(mtf, mdl, ad), nd.toLong)
       }
-      .toDF("bucket", "ub", "nd")
+      .toDF("term", "bucket", "ub", "nd")
+      // a (term,bucket) run may span several sub-blocks: the term's bound
+      // in the bucket is the MAX over its sub-blocks (any doc sees one)
+      .groupBy($"term", $"bucket")
+      .agg(max($"ub").as("ub"), sum($"nd").as("nd"))
       .groupBy($"bucket")
       .agg(sum($"ub").as("ub"), sum($"nd").as("nd"))
     bounds.cache()

@@ -186,6 +186,25 @@ class SurfaceSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("posting blocks sub-split at the doc cap; decode is equivalent") {
+    import graft.spark.{IndexBuilder, TermDocRow}
+    val rows = (0 until 10).map(d => TermDocRow("hot", 1, d.toLong, 2, 50L,
+      graft.core.Varint.encode(Array(3L * d, 3L * d + 1))))
+    val full = IndexBuilder.encodeBlocks(rows.iterator, Int.MaxValue).toSeq
+    val split = IndexBuilder.encodeBlocks(rows.iterator, 4).toSeq
+    val fullHot = full.filter(_.term == "hot")
+    val splitHot = split.filter(_.term == "hot")
+    assert(fullHot.size == 1 && splitHot.size == 3) // 4 + 4 + 2
+    assert(splitHot.map(_.firstDocId) == Seq(0L, 4L, 8L))
+    def dec(bs: Seq[graft.spark.PostingBlockRow]) =
+      bs.flatMap(b => IndexBuilder.decodeBlock(b).map { case (d, tf, c) => (d, tf, c.toSeq) }.toSeq)
+    assert(dec(splitHot) == dec(fullHot))
+    // dl strips are unaffected (still one per bucket, all docs present)
+    val strip = split.filter(_.term == IndexBuilder.DlStripTerm)
+    assert(strip.size == 1 &&
+      IndexBuilder.decodeDlStrip(strip.head).size == 10)
+  }
+
   test("close words: levenshtein neighbors surface the typo target") {
     val mem = new MemIndex(Analyzer())
     mem.addDoc("Test:T", "", Seq(("1", pickwick)))
