@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additional data sources producing the engine's `pages` input schema
+  * (`url, warc_ts, html, text, lang` + optional `header`), the Spark-first
+  * counterparts of the reference's pluggable IIndexDataSource family.
+  */
+
+/** XML manifest source (≙ reference XmlDataSource,
+  * /root/reference/Docodo.NET/DataSources/XmlDataSource.cs): the manifest
+  * lists `<document>` elements whose child elements are fields; the `file`
+  * field is the document's text path (relative to `<basepath>` or the
+  * manifest's directory), every other field becomes a header line. The
+  * manifest itself is parsed on the driver — manifests are small by
+  * construction — while document CONTENT is loaded distributed (one task
+  * per slice of the entry list), so corpus size is bounded by the cluster,
+  * not the driver.
+  */
+object XmlManifestSource {
+
+  final case class Entry(file: String, fields: Seq[(String, String)])
+
+  /** parse the manifest with the JDK's streaming XML reader. */
+  def parseManifest(manifestPath: String): (String, Seq[Entry]) = {
+    val dir = {
+      val p = java.nio.file.Paths.get(manifestPath).toAbsolutePath.getParent
+      if (p == null) "" else p.toString
+    }
+    var basepath = dir
+    val entries = Seq.newBuilder[Entry]
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(manifestPath))
+    try {
+      val f = javax.xml.stream.XMLInputFactory.newInstance()
+      f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      val r = f.createXMLStreamReader(in)
+      var inDoc = false
+      var fieldName: String = null
+      var fields = Seq.newBuilder[(String, String)]
+      val text = new StringBuilder
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            val name = r.getLocalName
+            if (name == "document") { inDoc = true; fields = Seq.newBuilder }
+            else if (inDoc || name == "basepath") { fieldName = name; text.clear() }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS =>
+            if (fieldName != null) text.append(r.getText)
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            val name = r.getLocalName
+            if (name == "document") {
+              inDoc = false
+              val fs = fields.result()
+              fs.find(_._1 == "file") match {
+                case Some((_, file)) => entries += Entry(file, fs.filterNot(_._1 == "file"))
+                case None => // reference logs "no file field" and skips
+              }
+            } else if (fieldName == name) {
+              val v = text.toString.trim
+              if (name == "basepath") {
+                basepath = if (v.contains(":") || v.startsWith("/")) v
+                else java.nio.file.Paths.get(dir, v).toString
+              } else if (inDoc) fields += (name -> v)
+              fieldName = null
+            }
+          case _ =>
+        }
+      }
+      r.close()
+    } finally in.close()
+    (basepath, entries.result())
+  }
+
+  /** manifest → pages DataFrame (text loaded distributed; header carries
+    * the manifest's fields like the reference's AddRecordBase). */
+  def pages(spark: SparkSession, manifestPath: String,
+            sourceName: String = "xml"): DataFrame = {
+    import spark.implicits._
+    val (basepath, entries) = parseManifest(manifestPath)
+    val slices = math.max(1, math.min(entries.size, spark.sparkContext.defaultParallelism * 3))
+    spark.createDataset(entries.map(e => (e.file, e.fields)))(
+        org.apache.spark.sql.Encoders.product[(String, Seq[(String, String)])])
+      .repartition(slices)
+      .map { case (file, fields) =>
+        val path = java.nio.file.Paths.get(basepath, file)
+        val body = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val header = (Seq("Name" -> file, "Source" -> sourceName) ++ fields)
+          .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+        (file, null.asInstanceOf[Array[Byte]], body, header)
+      }
+      .toDF("url", "html", "text", "header")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("lang", lit(null).cast("string"))
+      .select($"url", $"warc_ts", $"html", $"text", $"lang", $"header")
+  }
+}
+
+/** Database source (≙ reference DBDataSourceBase Text mode,
+  * /root/reference/Docodo.NET/DataSources/DBDataSource.cs): rows of a
+  * select become documents; `nameCol` is the unique document name,
+  * `textCol` the body, and every `headerCols` value becomes a header
+  * line. Built on `spark.read.jdbc`, so predicate pushdown / partitioned
+  * reads come from Spark's JDBC relation, not hand-rolled cursors.
+  */
+object DbSource {
+
+  def pages(spark: SparkSession, jdbcUrl: String, query: String,
+            nameCol: String, textCol: String, headerCols: Seq[String] = Nil,
+            sourceName: String = "db",
+            connectionProperties: java.util.Properties = new java.util.Properties()): DataFrame = {
+    import spark.implicits._
+    val rel = spark.read.jdbc(jdbcUrl, s"($query) graft_src", connectionProperties)
+    val hdrExpr = concat(
+      (Seq(concat_ws("", lit("Name="), col(nameCol), lit("\n")),
+        lit(s"Source=$sourceName\n")) ++
+        headerCols.map(c => concat_ws("", lit(s"$c="), coalesce(col(c).cast("string"), lit("")), lit("\n")))): _*)
+    rel.select(
+      col(nameCol).cast("string").as("url"),
+      lit(null).cast("timestamp").as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      col(textCol).cast("string").as("text"),
+      lit(null).cast("string").as("lang"),
+      hdrExpr.as("header"))
+  }
+}

@@ -66,11 +66,16 @@ object IndexBuilder {
   val LayoutVersion = "layout-v4-fusedmeta"
 
   /** Signature of the input snapshot + build config + layout. Pins resume:
-    * a stage marker only skips when all three match. */
+    * a stage marker only skips when all three match. File-less inputs
+    * (generated datasets, JDBC relations) contribute their schema: two
+    * builds into one indexDir with the same schema and config resume each
+    * other — callers switching the underlying query/generator should use a
+    * fresh dir or a distinguishing cfg.sourceName. */
   private def inputSignature(pages: DataFrame, cfg: BuildConfig): String = {
     val files = pages.inputFiles.sorted
     val h = java.security.MessageDigest.getInstance("SHA-256")
     files.foreach(f => h.update(f.getBytes("UTF-8")))
+    h.update(pages.schema.json.getBytes("UTF-8"))
     h.update(cfg.toString.getBytes("UTF-8"))
     h.update(LayoutVersion.getBytes("UTF-8"))
     files.length + ":" + h.digest().map("%02x".format(_)).mkString.take(16)
@@ -102,12 +107,18 @@ object IndexBuilder {
     if (IndexStore.stageDone(indexDir, "doctext", sig)) resumed += "doctext"
     else {
       val src = cfg.sourceName
-      val in = pages.select($"url", $"html", $"text").as[(String, Array[Byte], String)]
+      // optional `header` column: sources with their own metadata fields
+      // (XML manifests, DB rows — graft.sources) pass a prebuilt header
+      // page; web pages synthesize one from the extraction (title/author)
+      val in = (if (pages.columns.contains("header"))
+        pages.select($"url", $"html", $"text", $"header")
+      else pages.select($"url", $"html", $"text", lit(null).cast("string").as("header")))
+        .as[(String, Array[Byte], String, String)]
       // deterministic docIds: global url order via range partition + local
       // sort, then zipWithIndex (2 Spark jobs; no single-partition sort).
       val sorted = in.repartitionByRange($"url".asc).sortWithinPartitions($"url".asc)
       val docText = sorted.rdd.zipWithIndex().mapPartitions { it =>
-        it.flatMap { case ((url, html, text), docId) =>
+        it.flatMap { case ((url, html, text, customHdr), docId) =>
           val ex =
             if (text != null && text.nonEmpty)
               HtmlExtract.Extracted(text, "", "")
@@ -117,7 +128,9 @@ object IndexBuilder {
           // (WebDataSource.cs:244,268)
           if (ex.text.isEmpty) None
           else {
-            val hdr = if (cfg.includeHeaders) ex.headers(url, src) else ""
+            val hdr =
+              if (customHdr != null) customHdr
+              else if (cfg.includeHeaders) ex.headers(url, src) else ""
             Some(DocTextRow(docId, src + Consts.DocSep + url, hdr, ex.text))
           }
         }

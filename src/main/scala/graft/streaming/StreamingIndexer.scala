@@ -53,7 +53,16 @@ object StreamingIndexer {
     // index must continue its docId space, not restart at 0). build()
     // clears the stream marker on a full rebuild, so a stale marker can
     // never leak pre-rebuild counts into the new lineage.
-    val baseSnap = IndexStore.readSnapshot(indexDir)
+    //
+    // The base snapshot is the one the marker COMMITTED, not CURRENT: a
+    // crash between writeSnapshot and commitStage leaves CURRENT pointing
+    // at the crashed attempt's snapshot, whose file list and termstats
+    // already contain this batch — basing the replay on it would
+    // double-list the batch dir and double-merge its term counts.
+    val baseSnap = IndexStore.readStageDetail(indexDir, "stream", "version") match {
+      case Some(v) => IndexStore.readSnapshot(indexDir, Some(v.toInt))
+      case None => IndexStore.readSnapshot(indexDir)
+    }
     val streamMarker = IndexStore.readStageDetail(indexDir, "stream", "nextDocId")
     val nextDocId = streamMarker.map(_.toLong).getOrElse {
       baseSnap match {
@@ -202,7 +211,8 @@ object StreamingIndexer {
     // own directories — an orphaned directory from an abandoned attempt is
     // never picked up by listing the parent.
     def tableFiles(table: String): Seq[String] =
-      baseSnap.toSeq.flatMap(_.files.getOrElse(table, Nil)) ++
+      baseSnap.toSeq.flatMap(_.files.getOrElse(table, Nil))
+        .filterNot(_.startsWith(s"$table/$batchTag/")) ++
         IndexStore.listTableFiles(indexDir, s"$table/$batchTag")
 
     // snapshot first, stream marker last: a crash between them replays the
@@ -219,6 +229,7 @@ object StreamingIndexer {
     IndexStore.commitStage(indexDir, IndexStore.StageRecord(
       "stream", s"batch-$batchId", batchDocs, 0L,
       Map("lastBatchId" -> batchId.toString,
+        "version" -> version.toString, // the snapshot this commit stands on
         "nextDocId" -> (maxDocId + 1).toString,
         "nDocs" -> nDocs.toString,
         "sumDl" -> sumDl.toString,

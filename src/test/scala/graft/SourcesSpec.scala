@@ -1,0 +1,83 @@
+package graft
+
+import graft.query.SearchOptions
+import graft.sources.{DbSource, XmlManifestSource}
+import graft.spark.{IndexBuilder, SparkSearcher}
+import graft.text.Analyzer
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S8/S9: XML-manifest and database sources feed the same build and keep
+  * the reference's header-field semantics (fields queryable via
+  * `{field=value}`). DB test uses embedded Derby through spark.read.jdbc.
+  */
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("XML manifest source: files + fields → index → field query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xmlsrc")
+    java.nio.file.Files.writeString(dir.resolve("doc1.txt"),
+      "the merriment of the old lady was considerable indeed")
+    java.nio.file.Files.writeString(dir.resolve("doc2.txt"),
+      "vector spaces and inner products for ranking functions")
+    val manifest = dir.resolve("manifest.xml")
+    java.nio.file.Files.writeString(manifest,
+      """<?xml version="1.0"?>
+        |<documents>
+        |  <basepath>.</basepath>
+        |  <document><file>doc1.txt</file><author>dickens</author><year>1837</year></document>
+        |  <document><file>doc2.txt</file><author>banach</author></document>
+        |  <document><author>orphan-no-file</author></document>
+        |</documents>""".stripMargin)
+
+    val pages = XmlManifestSource.pages(spark, manifest.toString)
+    assert(pages.count() == 2) // the no-file document is skipped (reference behavior)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-xmlidx").toString
+    IndexBuilder.build(spark, pages, idx, IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "xml"))
+    val sr = new SparkSearcher(spark, idx, Analyzer())
+
+    val byWord = sr.search("merriment", SearchOptions())
+    assert(byWord.docs.map(_.name) == Seq("xml:doc1.txt"))
+    // manifest fields are header fields: {author=...} selects the doc
+    val byField = sr.search("considerable {author=dickens}", SearchOptions())
+    assert(byField.docs.size == 1)
+    val miss = sr.search("considerable {author=banach}", SearchOptions())
+    assert(miss.docs.isEmpty)
+    // typed header coercion applies to manifest fields too
+    assert(byWord.docs.head.typedHeaders.get("year").contains(1837L))
+  }
+
+  test("DB source (embedded Derby over spark.read.jdbc) → index → search") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE docs (name VARCHAR(64), body VARCHAR(512), author VARCHAR(64))")
+      st.execute("INSERT INTO docs VALUES ('a-001', 'distributed indexing with salted partitions', 'alice')")
+      st.execute("INSERT INTO docs VALUES ('b-002', 'streaming appends commit snapshot manifests', 'bob')")
+      st.close()
+    } finally conn.close()
+
+    val pages = DbSource.pages(spark, url,
+      "SELECT name, body, author FROM docs",
+      nameCol = "NAME", textCol = "BODY", headerCols = Seq("AUTHOR"), sourceName = "db")
+    assert(pages.count() == 2)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-dbidx").toString
+    IndexBuilder.build(spark, pages, idx, IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "db"))
+    val sr = new SparkSearcher(spark, idx, Analyzer())
+
+    val hit = sr.search("salted", SearchOptions())
+    assert(hit.docs.map(_.name) == Seq("db:a-001"))
+    assert(hit.docs.head.headers.get("AUTHOR").contains("alice"))
+    val byField = sr.search("snapshot {AUTHOR=bob}", SearchOptions())
+    assert(byField.docs.size == 1)
+  }
+}

@@ -104,5 +104,30 @@ class StreamingSpec extends AnyFunSuite {
       graft.fixtures.PagesGen.pages(spark, 10, parts = 1).toDF(), indexDir, cfg, batchId = 0L)
     assert(n == 0L, "replayed batch must dedup")
     assert(IndexStore.readSnapshot(indexDir).get.nDocs == before.nDocs)
+
+    // crash-replay exactly-once: simulate a batch that wrote its data dirs
+    // and snapshot but crashed BEFORE the stream marker committed — the
+    // checkpoint replays it; batch-scoped overwrite must leave counts
+    // identical (no double-counted docs/postings), only the version moves
+    val batch2 = graft.fixtures.PagesGen.pages(spark, 90, parts = 2)
+      .filter(col("url").isin((70 until 90).map(i => graft.fixtures.PagesGen.urlFor(i.toLong)): _*))
+      .toDF()
+    val marker = IndexStore.stageMarkerPath(indexDir, "stream")
+    val preBatchMarker = java.nio.file.Files.readAllBytes(marker)
+    val added = StreamingIndexer.appendBatch(spark, batch2, indexDir, cfg, batchId = 2L)
+    assert(added > 0)
+    val committed = IndexStore.readSnapshot(indexDir).get
+    // roll the stream marker back to its pre-batch content — exactly the
+    // state a crash before commitStage leaves behind (data dirs + snapshot
+    // written, marker not yet advanced)
+    java.nio.file.Files.write(marker, preBatchMarker)
+    val replayed = StreamingIndexer.appendBatch(spark, batch2, indexDir, cfg, batchId = 2L)
+    assert(replayed == added, s"replay re-appended $replayed (first run $added)")
+    val after = IndexStore.readSnapshot(indexDir).get
+    assert(after.nDocs == committed.nDocs, s"nDocs ${after.nDocs} vs ${committed.nDocs}")
+    assert(after.totalPostings == committed.totalPostings, "postings double-counted on replay")
+    assert(after.files("doctext").size == committed.files("doctext").size, "doctext files grew")
+    memAdd(70 until 90)
+    check("after-crash-replay")
   }
 }
