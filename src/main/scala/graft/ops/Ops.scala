@@ -315,13 +315,14 @@ object Ops {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** exact cosine between columns `qv` and `embedding` (doubles, 5 dp). */
-  private val cosCol =
-    round(
-      expr("aggregate(zip_with(qv, embedding, (a,b) -> cast(a as double)*cast(b as double)), 0D, (acc,x) -> acc + x)") /
-        (sqrt(expr("aggregate(transform(qv, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)")) *
-          sqrt(expr("aggregate(transform(embedding, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)"))),
-      5).as("cos")
+  /** exact cosine between columns `qv` and `embedding` (doubles, 5 dp) —
+    * the native codegen expression (graft.functions.CosineSimilarity), one
+    * fused loop instead of interpreted higher-order-function lambdas;
+    * bit-identical to the HOF formulation (same op order). */
+  private def cosCol(s: SparkSession) = {
+    graft.functions.CosineSimilarity.register(s)
+    round(expr("graft_cosine(qv, embedding)"), 5).as("cos")
+  }
 
   /** rank a (qid, vec_id, cos) frame to top-k per query. */
   private def rankTopK(cos: DataFrame, k: Int): DataFrame = {
@@ -335,11 +336,12 @@ object Ops {
   /** brute-force cosine top-k neighbors for vec_id < 5 (the ANN baseline —
     * exact, O(Q·N), what the LSH path's recall is measured against). */
   def annBruteTopK(e0: DataFrame, k: Int): DataFrame = {
+    val cos5 = cosCol(e0.sparkSession)
     val e = e0.select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val cos = q.join(e, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosCol)
+      .select(col("qid"), col("vec_id"), cos5)
     rankTopK(cos, k)
   }
 
@@ -419,7 +421,7 @@ object Ops {
     val cos = cand
       .join(broadcast(qv), Seq("qid"))
       .join(e, Seq("vec_id"))
-      .select(col("qid"), col("vec_id"), cosCol)
+      .select(col("qid"), col("vec_id"), cosCol(s))
     rankTopK(cos, k)
   }
 

@@ -186,6 +186,32 @@ class SurfaceSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("native cosine expression equals the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, sqrt}
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -1.0f, 2.0f)),
+      (Seq(0f, 0f, 1f), Seq(0f, 0f, 1f)),
+      (Seq(0.25f, -0.75f), Seq(1.5f, 0.125f))).toDF("qv", "embedding")
+    graft.functions.CosineSimilarity.register(spark)
+    val native = df.select(expr("graft_cosine(qv, embedding)")).as[Double].collect()
+    val hof = df.select(
+      (expr("aggregate(zip_with(qv, embedding, (a,b) -> cast(a as double)*cast(b as double)), 0D, (acc,x) -> acc + x)") /
+        (sqrt(expr("aggregate(transform(qv, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)")) *
+          sqrt(expr("aggregate(transform(embedding, a -> cast(a as double)*cast(a as double)), 0D, (acc,x) -> acc + x)")))))
+      .as[Double].collect()
+    assert(native.toSeq == hof.toSeq)
+    // the extensions hook builds and injects without error
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // type checking rejects non-float-array inputs
+    val bad = intercept[Exception] {
+      Seq((1, 2)).toDF("qv", "embedding")
+        .select(expr("graft_cosine(qv, embedding)")).collect()
+    }
+    assert(bad.getMessage.contains("array<float>"))
+  }
+
   test("posting blocks sub-split at the doc cap; decode is equivalent") {
     import graft.spark.{IndexBuilder, TermDocRow}
     val rows = (0 until 10).map(d => TermDocRow("hot", 1, d.toLong, 2, 50L,
