@@ -224,11 +224,16 @@ object Bench {
         // are the evidence.
         val effB = reps.map(r => (r._2.buildDps / r._1.buildDps) / 4.0).max
         val effQ = reps.map(r => (r._2.qps / r._1.qps) / 4.0).max
+        def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+        val medB = median(reps.map(r => (r._2.buildDps / r._1.buildDps) / 4.0))
+        val medQ = median(reps.map(r => (r._2.qps / r._1.qps) / 4.0))
         Seq(
           "build_docs_per_sec_c2" -> d2, "build_docs_per_sec_c8small" -> d8,
           "bm25_qps_c2" -> q2, "bm25_qps_c8small" -> q8,
           "scaling_efficiency_build" -> effB,
           "scaling_efficiency_query" -> effQ,
+          "scaling_efficiency_build_median" -> medB,
+          "scaling_efficiency_query_median" -> medQ,
           "scaling_efficiency_build_crosswindow" -> (d8 / d2) / 4.0,
           "scaling_efficiency_query_crosswindow" -> (q8 / q2) / 4.0,
           "hw_tokenize_dps_c2" -> hw2,

@@ -580,10 +580,87 @@ object Ops {
            |  substr(md5(text), 1, 8) AS magic
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal "resize": the decode+transform plumbing for image-style
+    * payloads — typed mapPartitions batch iteration, target-box math on
+    * the (stubbed) decoded dimensions, new deterministic content id. The
+    * resize arithmetic (aspect-preserving fit into 32×32) is real; only
+    * the pixel decode behind it is the disclosed stub. */
+  val mmResize = Op("mm_resize",
+    (s, dir) => {
+      import s.implicits._
+      val payloads = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      val out = payloads.mapPartitions { batch =>
+        def stubDecode(bytes: Array[Byte]): (Int, Int) = {
+          val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          (1 + ((h(0) & 0xFF) % 64), 1 + ((h(1) & 0xFF) % 64))
+        }
+        batch.map { case (id, bytes) =>
+          val (w, h) = stubDecode(bytes)
+          // aspect-preserving fit into a 32x32 box (never upscale)
+          val scale = math.min(1.0, math.min(32.0 / w, 32.0 / h))
+          val (nw, nh) = (math.max(1, math.floor(w * scale).toInt),
+            math.max(1, math.floor(h * scale).toInt))
+          (id, w, h, nw, nh)
+        }
+      }
+      out.toDF("doc_id", "width", "height", "new_w", "new_h").orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id,
+           |    1 + (('0x' || substr(md5(text), 1, 2))::INT % 64) AS width,
+           |    1 + (('0x' || substr(md5(text), 3, 2))::INT % 64) AS height
+           |  FROM documents)
+           |SELECT doc_id, width, height,
+           |  greatest(1, floor(width  * least(1.0, least(32.0/width, 32.0/height))))::INT AS new_w,
+           |  greatest(1, floor(height * least(1.0, least(32.0/width, 32.0/height))))::INT AS new_h
+           |FROM dims ORDER BY doc_id""".stripMargin))
+
+  /** Multimodal "frame sampling": video-style payloads → k evenly spaced
+    * frame offsets with per-frame fingerprints — the batch shape and
+    * partitioning a real frame sampler needs (the frame decode itself is
+    * the stub: a frame is a byte slice). */
+  val mmFrameSample = Op("mm_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val k = 4
+      val payloads = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      val frames = payloads.flatMap { case (id, bytes) =>
+        val n = bytes.length
+        (0 until k).flatMap { f =>
+          val off = (n.toLong * f / k).toInt
+          if (off >= n) None
+          else {
+            val end = math.min(n, off + 16)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(bytes, off, end - off)
+            Some((id, f.toLong, off.toLong,
+              md.digest().take(4).map("%02x".format(_)).mkString))
+          }
+        }
+      }
+      frames.toDF("doc_id", "frame", "off", "frame_fp").orderBy("doc_id", "frame")
+    },
+    // oracle slices VARCHAR (DuckDB has no BLOB substring/md5): valid
+    // because the test corpus is pure ASCII (chars == bytes, verified);
+    // the Spark side slices raw bytes and handles any payload
+    Some("""WITH f AS (SELECT unnest(range(0, 4)) AS frame),
+           |x AS (
+           |  SELECT d.doc_id, f.frame, d.text,
+           |         (octet_length(d.text::BLOB)::BIGINT * f.frame // 4) AS off,
+           |         octet_length(d.text::BLOB) AS n
+           |  FROM documents d CROSS JOIN f)
+           |SELECT doc_id, frame, off,
+           |  substr(md5(substring(text, (off + 1)::BIGINT, least(16, n - off::INT)::BIGINT)), 1, 8) AS frame_fp
+           |FROM x WHERE off < n ORDER BY doc_id, frame""".stripMargin))
+
   val all: Seq[Op] = Seq(
     tokenCount, qualityScore, langId, fingerprint,
     dedupExact, minhashSig, minhashPairs, simhash, ngramJaccard, dedupClusters,
     annBrute, annLsh,
     eventsHourly, sessionize,
-    q1Agg, q3Join, topCustomers, mmBinaryMeta)
+    q1Agg, q3Join, topCustomers, mmBinaryMeta, mmResize, mmFrameSample)
 }
