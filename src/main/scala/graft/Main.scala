@@ -105,6 +105,15 @@ object Main {
         .collect().foreach(r => println(f"  ${r.getString(0)}%-24s cf=${r.getLong(2)} df=${r.getLong(1)}"))
       spark.stop()
 
+    case "vacuum" :: indexDir :: rest =>
+      // Iceberg-style expire-snapshots: keep the newest N versions
+      val keep = rest match {
+        case "--keep" :: n :: _ => n.toInt
+        case _ => 2
+      }
+      val (expired, deleted) = IndexStore.vacuum(indexDir, keep)
+      println(s"vacuumed: expiredSnapshots=$expired deletedFiles=$deleted keep=$keep")
+
     case "buildvoc" :: in :: out :: rest =>
       // lemma file (lemma<TAB>forms...) → binary .voc usable via --voc
       val stemmer = rest match {

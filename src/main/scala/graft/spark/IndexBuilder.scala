@@ -63,7 +63,7 @@ object IndexBuilder {
 
   /** Storage layout version — bumped whenever the block schema/semantics
     * change, so stale indexes never silently resume across layouts. */
-  val LayoutVersion = "layout-v4-fusedmeta"
+  val LayoutVersion = "layout-v5-versioned-dirs"
 
   /** Signature of the input snapshot + build config + layout. Pins resume:
     * a stage marker only skips when all three match. File-less inputs
@@ -95,12 +95,24 @@ object IndexBuilder {
       tMark = now
     }
 
-    val docTextPath = s"$indexDir/doctext"
-    val docMetaPath = s"$indexDir/docmeta"
-    val postingsPath = s"$indexDir/postings"
-    // termstats is versioned per snapshot commit (appends recompute it;
-    // old versions must stay readable for pinned readers)
-    val termStatsDirName = s"termstats-v${IndexStore.currentVersion(indexDir).getOrElse(0) + 1}"
+    // Intended snapshot version, computed up front so every table writes a
+    // VERSION-SCOPED directory: a full rebuild never touches the previous
+    // snapshot's files — the "swap" is just the CURRENT pointer, and older
+    // snapshots stay readable (time travel) until `vacuum` expires them.
+    // A crash-rerun recomputes the same version (CURRENT unchanged) and
+    // resumed stages reuse the directory their marker recorded.
+    val intendedVersion = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
+    def stageDir(stage: String, default: String): String =
+      (if (IndexStore.stageDone(indexDir, stage, sig))
+        IndexStore.readStageDetail(indexDir, stage, "dir") else None)
+        .getOrElse(default)
+    val docTextDirName = stageDir("doctext", s"doctext/build-v$intendedVersion")
+    val docTextPath = s"$indexDir/$docTextDirName"
+    val docMetaDirName = stageDir("docmeta", s"docmeta/build-v$intendedVersion")
+    val docMetaPath = s"$indexDir/$docMetaDirName"
+    val postingsDirName = stageDir("postings", s"postings/build-v$intendedVersion")
+    val postingsPath = s"$indexDir/$postingsDirName"
+    val termStatsDirName = stageDir("termstats", s"termstats-v$intendedVersion")
     val termStatsPath = s"$indexDir/$termStatsDirName"
 
     // ---- stage 1: doctext (extract + docId assignment) ----
@@ -139,7 +151,7 @@ object IndexBuilder {
       // row count comes from the docmeta aggregate in stage 2 (same rows);
       // avoiding a bookkeeping job here keeps the build's fixed cost down
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
-        "doctext", sig, -1L, dirBytes(docTextPath), Map("path" -> docTextPath)))
+        "doctext", sig, -1L, dirBytes(docTextPath), Map("dir" -> docTextDirName)))
     }
 
     mark("stage1-doctext")
@@ -236,7 +248,7 @@ object IndexBuilder {
       val avgdlStr = (if (m._3 == 0) 1.0 else m._4.toDouble / m._3).toString
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
         "postings", sig, m._2, dirBytes(postingsPath),
-        Map("totalPostings" -> m._1.toString,
+        Map("totalPostings" -> m._1.toString, "dir" -> postingsDirName,
           "nDocs" -> m._3.toString, "avgdl" -> avgdlStr)))
     }
     mark("stage2-postings")
@@ -253,17 +265,14 @@ object IndexBuilder {
       docMeta.write.mode("overwrite").parquet(docMetaPath)
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
         "docmeta", sig, nDocs, dirBytes(docMetaPath),
-        Map("nDocs" -> nDocs.toString, "avgdl" -> avgdl.toString)))
+        Map("nDocs" -> nDocs.toString, "avgdl" -> avgdl.toString,
+          "dir" -> docMetaDirName)))
     }
     mark("stage3-docmeta")
 
     // ---- stage 4: term dictionary from block metadata (tiny agg) ----
-    // on resume, reuse the versioned dir the completed stage recorded
-    val termStatsDirFinal =
-      if (IndexStore.stageDone(indexDir, "termstats", sig)) {
-        resumed += "termstats"
-        IndexStore.readStageDetail(indexDir, "termstats", "dir").getOrElse(termStatsDirName)
-      } else {
+    if (IndexStore.stageDone(indexDir, "termstats", sig)) resumed += "termstats"
+    else {
         // hash-partitioned by term with a per-file sort: parallel write (a
         // web-scale vocab is billions of entries — a single-partition
         // sort/write would be the build's bottleneck and an OOM risk) and
@@ -279,7 +288,6 @@ object IndexBuilder {
           .write.mode("overwrite").parquet(termStatsPath)
         IndexStore.commitStage(indexDir, IndexStore.StageRecord(
           "termstats", sig, -1L, dirBytes(termStatsPath), Map("dir" -> termStatsDirName)))
-        termStatsDirName
       }
 
     mark("stage4-termstats")
@@ -302,19 +310,18 @@ object IndexBuilder {
     java.nio.file.Files.deleteIfExists(IndexStore.stageMarkerPath(indexDir, "stream"))
 
     // ---- snapshot commit (manifest lists the exact files of each table,
-    // so readers can pin this version even after later appends) ----
-    val version = IndexStore.currentVersion(indexDir).getOrElse(0) + 1
+    // so readers can pin this version even after later appends or rebuilds) ----
     IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
-      version, nDocs, avgdl, totalPostings,
+      intendedVersion, nDocs, avgdl, totalPostings,
       Seq("doctext", "docmeta", "postings", "termstats").map { s =>
         IndexStore.StageRecord(s, sig,
           IndexStore.readStageDetail(indexDir, s, "rows").map(_.toLong).getOrElse(0L), 0L, Map.empty)
       },
       Map(
-        "doctext" -> IndexStore.listTableFiles(indexDir, "doctext"),
-        "docmeta" -> IndexStore.listTableFiles(indexDir, "docmeta"),
-        "postings" -> IndexStore.listTableFiles(indexDir, "postings"),
-        "termstats" -> IndexStore.listTableFiles(indexDir, termStatsDirFinal))))
+        "doctext" -> IndexStore.listTableFiles(indexDir, docTextDirName),
+        "docmeta" -> IndexStore.listTableFiles(indexDir, docMetaDirName),
+        "postings" -> IndexStore.listTableFiles(indexDir, postingsDirName),
+        "termstats" -> IndexStore.listTableFiles(indexDir, termStatsDirName))))
 
     BuildStats(nDocs, avgdl, totalPostings, resumed.toSeq)
   }

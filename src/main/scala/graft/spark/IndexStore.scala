@@ -181,4 +181,60 @@ object IndexStore {
     else Files.list(d).iterator().asScala.map(_.getFileName.toString)
       .filter(_.startsWith("manifest-")).toSeq.sorted
   }
+
+  private val ManifestRe = "manifest-v(\\d+)\\.json".r
+
+  def listVersions(indexDir: String): Seq[Int] =
+    listManifests(indexDir)
+      .flatMap(n => ManifestRe.findFirstMatchIn(n).map(_.group(1).toInt)).sorted
+
+  /** Iceberg-style snapshot expiry: keep the newest `keep` manifests,
+    * delete every table file no kept manifest references (including
+    * orphans from crashed attempts), drop the expired manifests, and clear
+    * build-stage markers whose directories lost files (so a stale resume
+    * can never point at vacuumed data). Single-writer assumption: do not
+    * run concurrently with a build or append. Returns
+    * (expiredVersions, deletedFiles). */
+  def vacuum(indexDir: String, keep: Int = 2): (Int, Int) = {
+    val versions = listVersions(indexDir)
+    if (versions.isEmpty) return (0, 0)
+    val keepV = versions.takeRight(math.max(1, keep)).toSet
+    val referenced: Set[String] = keepV.flatMap(v =>
+      readSnapshot(indexDir, Some(v)).toSeq.flatMap(_.files.values.flatten))
+    val root = Paths.get(indexDir)
+    val tableRoots = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n == "doctext" || n == "docmeta" || n == "postings" || n.startsWith("termstats")
+      }.toSeq
+    var deleted = 0
+    def walk(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        Files.list(p).iterator().asScala.toSeq.foreach(walk)
+        // drop now-empty directories (but keep the table roots themselves)
+        if (!tableRoots.contains(p) && !Files.list(p).iterator().hasNext)
+          Files.delete(p)
+      } else {
+        val rel = root.relativize(p).toString
+        val isData = rel.endsWith(".parquet") || p.getFileName.toString.startsWith("_SUCCESS") ||
+          p.getFileName.toString.startsWith(".")
+        if (isData && !referenced.contains(rel)) { Files.delete(p); deleted += 1 }
+      }
+    }
+    tableRoots.foreach(walk)
+    // expire old manifests
+    val expired = versions.filterNot(keepV)
+    expired.foreach(v => Files.deleteIfExists(root.resolve(s"manifest-v$v.json")))
+    // stage markers pointing at vacuumed dirs must not drive a resume
+    Seq("doctext", "docmeta", "postings", "termstats").foreach { st =>
+      readStageDetail(indexDir, st, "dir").foreach { d =>
+        val dir = root.resolve(d)
+        val alive = Files.exists(dir) &&
+          Files.list(dir).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+        if (!alive) Files.deleteIfExists(stageMarkerPath(indexDir, st))
+      }
+    }
+    (expired.size, deleted)
+  }
 }

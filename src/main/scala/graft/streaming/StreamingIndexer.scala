@@ -65,10 +65,11 @@ object StreamingIndexer {
     }
     val streamMarker = IndexStore.readStageDetail(indexDir, "stream", "nextDocId")
     val nextDocId = streamMarker.map(_.toLong).getOrElse {
-      baseSnap match {
-        case Some(_) if new java.io.File(s"$indexDir/docmeta").exists() =>
-          spark.read.option("recursiveFileLookup", "true")
-            .parquet(s"$indexDir/docmeta")
+      // derive from the base snapshot's OWN docmeta files (the raw
+      // directory may hold older lineages' versioned build dirs too)
+      baseSnap.map(_.files.getOrElse("docmeta", Nil)) match {
+        case Some(fs) if fs.nonEmpty =>
+          spark.read.parquet(fs.map(f => s"$indexDir/$f"): _*)
             .agg(coalesce(max($"docId"), lit(-1L))).head().getLong(0) + 1
         case _ => 0L
       }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.fixtures.PagesGen
+import graft.query.SearchOptions
+import graft.spark.{IndexBuilder, IndexStore, SparkSearcher}
+import graft.text.Analyzer
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iceberg-style snapshot lifecycle: a full rebuild writes version-scoped
+  * directories (the swap is only the CURRENT pointer), older snapshots
+  * stay readable for time travel, and `vacuum` expires them. */
+class SnapshotSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("rebuild preserves old snapshots; vacuum expires them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+
+    // v1: 40-doc corpus
+    IndexBuilder.build(spark, PagesGen.pages(spark, 40, parts = 2).toDF(), dir,
+      IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "webA"))
+    assert(IndexStore.currentVersion(dir).contains(1))
+
+    // v2: full REBUILD from a different corpus (different config → new
+    // lineage); must not touch v1's files
+    IndexBuilder.build(spark, PagesGen.pages(spark, 60, parts = 2).toDF(), dir,
+      IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "webB"))
+    assert(IndexStore.currentVersion(dir).contains(2))
+
+    val cur = SparkSearcher.open(spark, dir)
+    assert(cur.nDocs == 60)
+    assert(cur.search("old", SearchOptions()).docs.nonEmpty)
+
+    // time travel to the pre-rebuild snapshot
+    val pinned = SparkSearcher.open(spark, dir, Some(1))
+    assert(pinned.nDocs == 40, s"pinned nDocs ${pinned.nDocs}")
+    assert(pinned.search("old", SearchOptions()).docs.nonEmpty)
+
+    // vacuum keep=1: v1 expires, its files are reclaimed
+    val (expired, deleted) = IndexStore.vacuum(dir, keep = 1)
+    assert(expired == 1, s"expired $expired")
+    assert(deleted > 0, "vacuum deleted nothing")
+    assert(IndexStore.readSnapshot(dir, Some(1)).isEmpty, "v1 manifest must be gone")
+    assert(!new java.io.File(s"$dir/doctext/build-v1").exists(), "v1 doctext dir must be gone")
+
+    // the current snapshot is untouched and fully functional
+    val cur2 = SparkSearcher.open(spark, dir)
+    assert(cur2.nDocs == 60)
+    val out = cur2.search("old", SearchOptions())
+    assert(out.docs.nonEmpty && out.docs.head.pages.nonEmpty)
+    assert(cur2.bm25TopKBatch(Seq(Seq("old", "lady")), 5).head.nonEmpty)
+  }
+}

@@ -159,7 +159,9 @@ class SparkIdentitySpec extends AnyFunSuite {
 
   test("extraction is byte-identical per url (spark vs local)") {
     import spark.implicits._
-    val got = spark.read.parquet(s"$indexDir/doctext")
+    val doctextFiles = IndexStore.readSnapshot(indexDir).get
+      .files("doctext").map(f => s"$indexDir/$f")
+    val got = spark.read.parquet(doctextFiles: _*)
       .select($"name", $"body").as[(String, String)].collect().toMap
     PagesGen.localPages(nDocsCorpus).foreach { case (url, html) =>
       val ex = HtmlExtract.extract(html)

@@ -101,7 +101,9 @@ class SurfaceSpec extends AnyFunSuite {
     val pages = graft.fixtures.PagesGen.pages(spark, 40, parts = 2)
     IndexBuilder.build(spark, pages.toDF(), dir, IndexBuilder.BuildConfig(bucketBits = 3))
     import spark.implicits._
-    val plan = spark.read.parquet(s"$dir/postings")
+    val postingFiles = graft.spark.IndexStore.readSnapshot(dir).get
+      .files("postings").map(f => s"$dir/$f")
+    val plan = spark.read.parquet(postingFiles: _*)
       .filter($"term".isin("old", "lady"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("term"), plan.take(500))
@@ -260,7 +262,9 @@ class SurfaceSpec extends AnyFunSuite {
     val pages = graft.fixtures.PagesGen.pages(spark, 300, parts = 4)
     IndexBuilder.build(spark, pages.toDF(), dir, IndexBuilder.BuildConfig(bucketBits = 5))
     import spark.implicits._
-    val blocks = spark.read.parquet(s"$dir/postings")
+    val skewFiles = graft.spark.IndexStore.readSnapshot(dir).get
+      .files("postings").map(f => s"$dir/$f")
+    val blocks = spark.read.parquet(skewFiles: _*)
       .filter($"term" === "running") // hottest zipf word (vocab rank 0)
       .select($"bucket", $"nDocs").as[(Int, Int)].collect()
     assert(blocks.length > 4, s"hot term in ${blocks.length} buckets")
