@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits: the scale properties we claim must be visible in the
+  * executed plans, not just intended — broadcast for small join sides,
+  * filters reaching the parquet scan, column pruning, codegen coverage.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q3_join: small dimension side is broadcast, not shuffled") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("top_customers: broadcast join + partial aggregation before shuffle") {
+    val p = plan("top_customers")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("HashAggregate"), "map-side partial agg expected")
+  }
+
+  test("tok_count: scan reads only the needed columns") {
+    val p = plan("tok_count")
+    // ReadSchema must not include the embedding-sized columns of documents
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("n_chars"), s"over-wide scan: $read")
+  }
+
+  test("dedup_exact: whole-stage codegen covers the aggregate") {
+    // AQE finalizes the plan only on execution — run it, then inspect
+    val df = SparkEntry.queries("dedup_exact")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" node prefixes mark whole-stage-codegen spans in the compact
+    // rendering of the finalized adaptive plan
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(800))
+  }
+
+  test("ann brute force: native cosine expression in the plan, not a UDF") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("graft_cosine") || p.contains("cosinesimilarity"),
+      s"native expression missing: ${p.take(800)}")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "UDF found in the ANN hot path")
+  }
+
+  test("events_hourly: filter-free full agg still prunes to 3 columns") {
+    val read = plan("events_hourly").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("ts") && read.contains("event_type") && read.contains("value"), read)
+    assert(!read.contains("user_id") && !read.contains("event_id"), s"over-wide scan: $read")
+  }
+}
