@@ -81,6 +81,51 @@ object IndexBuilder {
     files.length + ":" + h.digest().map("%02x".format(_)).mkString.take(16)
   }
 
+  /** pages → extracted forward-index rows with deterministic url-sorted
+    * docIds starting at `baseDocId`.
+    *
+    * Extraction runs ONCE, in the shuffle MAP stage — its output is reused
+    * by both of zipWithIndex's jobs, and the range exchange plus its two
+    * reduce-side sort passes carry extracted text (≈half the raw html
+    * bytes) instead of the raw payload. Range bounds are sampled from a
+    * urls-only projection (column-pruned parquet scan), so the sampling
+    * pass never touches the html column. No corpus-sized persist: at
+    * 100 TB local disk is the scarce resource, so the shuffle files are
+    * re-read rather than cached (SURVEY §7.1 rationale).
+    *
+    * Empty-extraction docs are dropped AFTER id assignment (docId gaps),
+    * matching FromHtml's null contract (WebDataSource.cs:244,268). The
+    * optional `header` column (XML/DB sources) overrides the synthesized
+    * header page. */
+  def extractDocText(spark: SparkSession, pages: DataFrame, srcName: String,
+                     includeHeaders: Boolean, baseDocId: Long): Dataset[DocTextRow] = {
+    import spark.implicits._
+    val in = (if (pages.columns.contains("header"))
+      pages.select($"url", $"html", $"text", $"header")
+    else pages.select($"url", $"html", $"text", lit(null).cast("string").as("header")))
+      .as[(String, Array[Byte], String, String)]
+    val extracted = in.rdd.map { case (url, html, text, customHdr) =>
+      val ex =
+        if (text != null && text.nonEmpty) HtmlExtract.Extracted(text, "", "")
+        else if (html != null) HtmlExtract.extract(html)
+        else HtmlExtract.Extracted("", "", "")
+      val hdr =
+        if (customHdr != null) customHdr
+        else if (includeHeaders && ex.text.nonEmpty) ex.headers(url, srcName) else ""
+      (url, (hdr, ex.text))
+    }
+    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val partitioner = new org.apache.spark.RangePartitioner(parts,
+      pages.select($"url").as[String].rdd.map((_, null)))
+    val sorted = extracted.repartitionAndSortWithinPartitions(partitioner)
+    sorted.zipWithIndex().mapPartitions { it =>
+      it.flatMap { case ((url, (hdr, body)), i) =>
+        if (body.isEmpty) None
+        else Some(DocTextRow(baseDocId + i, srcName + Consts.DocSep + url, hdr, body))
+      }
+    }.toDS()
+  }
+
   def build(spark: SparkSession, pages: DataFrame, indexDir: String,
             cfg: BuildConfig = BuildConfig()): BuildStats = {
     import spark.implicits._
@@ -118,35 +163,7 @@ object IndexBuilder {
     // ---- stage 1: doctext (extract + docId assignment) ----
     if (IndexStore.stageDone(indexDir, "doctext", sig)) resumed += "doctext"
     else {
-      val src = cfg.sourceName
-      // optional `header` column: sources with their own metadata fields
-      // (XML manifests, DB rows — graft.sources) pass a prebuilt header
-      // page; web pages synthesize one from the extraction (title/author)
-      val in = (if (pages.columns.contains("header"))
-        pages.select($"url", $"html", $"text", $"header")
-      else pages.select($"url", $"html", $"text", lit(null).cast("string").as("header")))
-        .as[(String, Array[Byte], String, String)]
-      // deterministic docIds: global url order via range partition + local
-      // sort, then zipWithIndex (2 Spark jobs; no single-partition sort).
-      val sorted = in.repartitionByRange($"url".asc).sortWithinPartitions($"url".asc)
-      val docText = sorted.rdd.zipWithIndex().mapPartitions { it =>
-        it.flatMap { case ((url, html, text, customHdr), docId) =>
-          val ex =
-            if (text != null && text.nonEmpty)
-              HtmlExtract.Extracted(text, "", "")
-            else if (html != null) HtmlExtract.extract(html)
-            else HtmlExtract.Extracted("", "", "")
-          // FromHtml returns null for empty text → doc skipped
-          // (WebDataSource.cs:244,268)
-          if (ex.text.isEmpty) None
-          else {
-            val hdr =
-              if (customHdr != null) customHdr
-              else if (cfg.includeHeaders) ex.headers(url, src) else ""
-            Some(DocTextRow(docId, src + Consts.DocSep + url, hdr, ex.text))
-          }
-        }
-      }.toDS()
+      val docText = extractDocText(spark, pages, cfg.sourceName, cfg.includeHeaders, 0L)
       docText.write.mode("overwrite").parquet(docTextPath)
       // row count comes from the docmeta aggregate in stage 2 (same rows);
       // avoiding a bookkeeping job here keeps the build's fixed cost down

@@ -102,21 +102,8 @@ object StreamingIndexer {
     val docMetaDir = s"$indexDir/docmeta/$batchTag"
     val postingsDir = s"$indexDir/postings/$batchTag"
 
-    val in = pages.select($"url", $"html", $"text").as[(String, Array[Byte], String)]
-    val sorted = in.repartitionByRange($"url".asc).sortWithinPartitions($"url".asc)
-    val docText: Dataset[DocTextRow] = sorted.rdd.zipWithIndex().mapPartitions { it =>
-      it.flatMap { case ((url, html, text), i) =>
-        val ex =
-          if (text != null && text.nonEmpty) graft.text.HtmlExtract.Extracted(text, "", "")
-          else if (html != null) graft.text.HtmlExtract.extract(html)
-          else graft.text.HtmlExtract.Extracted("", "", "")
-        if (ex.text.isEmpty) None
-        else {
-          val hdr = if (inc) ex.headers(url, src) else ""
-          Some(DocTextRow(nextDocId + i, src + Consts.DocSep + url, hdr, ex.text))
-        }
-      }
-    }.toDS()
+    val docText: Dataset[DocTextRow] =
+      IndexBuilder.extractDocText(spark, pages, src, inc, nextDocId)
     // overwrite = idempotent under checkpoint replay (partial output of a
     // crashed attempt is replaced, never double-counted)
     docText.write.mode("overwrite").parquet(docTextDir)
