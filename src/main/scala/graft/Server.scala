@@ -74,8 +74,52 @@ object Server {
         os.close()
       }
     })
+    server.createContext("/bm25", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          try {
+            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            val params = q.split('&').iterator.map(_.split("=", 2))
+              .collect { case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
+            params.get("req") match {
+              case Some(req) =>
+                val k = params.get("k").map(_.toInt).getOrElse(10)
+                val words = req.split("\\s+").toSeq.filter(_.nonEmpty)
+                val top = searcher.bm25TopK(words, k)
+                top.map { case (d, s) => s"""{"docId": $d, "score": $s}""" }
+                  .mkString("[", ",", "]")
+              case None => """{"error": "missing req parameter"}"""
+            }
+          } catch {
+            case e: Throwable => s"""{"error": ${jstr(String.valueOf(e.getMessage))}}"""
+          }
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        val os = ex.getResponseBody
+        os.write(bytes)
+        os.close()
+      }
+    })
+    server.createContext("/close", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val req = q.split('&').iterator.map(_.split("=", 2))
+          .collectFirst { case Array("req", v) => java.net.URLDecoder.decode(v, "UTF-8") }.getOrElse("")
+        val resp =
+          if (req.isEmpty) """{"error": "missing req parameter"}"""
+          else searcher.closeWords(req).map(jstr).mkString("[", ",", "]")
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        val os = ex.getResponseBody
+        os.write(bytes)
+        os.close()
+      }
+    })
     server.start()
-    System.err.println(s"[graft-server] listening on :$port (GET /search?req=..., /suggest?req=...)")
+    System.err.println(s"[graft-server] listening on :$port " +
+      "(GET /search?req=..., /suggest?req=..., /bm25?req=...&k=10, /close?req=...)")
     if (block) Thread.currentThread().join()
     server
   }

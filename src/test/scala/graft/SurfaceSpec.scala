@@ -91,6 +91,10 @@ class SurfaceSpec extends AnyFunSuite {
       assert(res.contains("ˋoldˊ"), "snippet highlight in JSON")
       val sug = get("/suggest?req=lad")
       assert(sug.startsWith("[") , sug.take(100))
+      val bm = get("/bm25?req=" + java.net.URLEncoder.encode("old lady", "UTF-8") + "&k=3")
+      assert(bm.contains("\"docId\"") && bm.contains("\"score\""), bm.take(200))
+      val close = get("/close?req=lafy")
+      assert(close.contains("lady"), close.take(200))
       val err = get("/search?nope=1")
       assert(err.contains("error"), err)
     } finally server.stop(0)
