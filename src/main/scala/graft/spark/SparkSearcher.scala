@@ -427,13 +427,29 @@ final class SparkSearcher(
         val fqB = spark.sparkContext.broadcast(fieldQis)
         val cap = Consts.MaxFoundDocs
         val perPart = postings.filter($"term".isin(fCodes: _*)).mapPartitions { it =>
+          val ps = plansB.value
+          val rows = it.toArray
+          // presence prescreen (same soundness as the main eval): only
+          // docs that can satisfy SOME field expression get their
+          // position chains decoded
+          val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
+          rows.foreach { b =>
+            IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
+              present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
+            }
+          }
+          def canField(qi: Int, ts: mutable.HashSet[String]): Boolean = {
+            val q = ps(qi)
+            QueryPlan(None, q.fields, q.filters, q.leaves, q.dist).canMatch(ts.contains)
+          }
+          val want: Long => Boolean = d =>
+            present.get(d).exists(ts => fqB.value.exists(qi => canField(qi, ts)))
           val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
-          it.foreach { b =>
-            IndexBuilder.decodeBlock(b).foreach { case (d, _, coords) =>
+          rows.foreach { b =>
+            IndexBuilder.decodeBlockFor(b, want).foreach { case (d, _, coords) =>
               byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
             }
           }
-          val ps = plansB.value
           val hits = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Long]]
           byDoc.foreach { case (docId, m) =>
             val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
