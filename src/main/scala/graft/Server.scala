@@ -62,10 +62,15 @@ object Server {
     })
     server.createContext("/suggest", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        val req = q.split('&').iterator.map(_.split("=", 2))
-          .collectFirst { case Array("req", v) => java.net.URLDecoder.decode(v, "UTF-8") }.getOrElse("")
-        val resp = searcher.suggest(req).map(jstr).mkString("[", ",", "]")
+        val resp =
+          try {
+            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            val req = q.split('&').iterator.map(_.split("=", 2))
+              .collectFirst { case Array("req", v) => java.net.URLDecoder.decode(v, "UTF-8") }.getOrElse("")
+            searcher.suggest(req).map(jstr).mkString("[", ",", "]")
+          } catch {
+            case e: Throwable => s"""{"error": ${jstr(String.valueOf(e.getMessage))}}"""
+          }
         val bytes = resp.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
         ex.sendResponseHeaders(200, bytes.length)
@@ -103,12 +108,16 @@ object Server {
     })
     server.createContext("/close", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        val req = q.split('&').iterator.map(_.split("=", 2))
-          .collectFirst { case Array("req", v) => java.net.URLDecoder.decode(v, "UTF-8") }.getOrElse("")
         val resp =
-          if (req.isEmpty) """{"error": "missing req parameter"}"""
-          else searcher.closeWords(req).map(jstr).mkString("[", ",", "]")
+          try {
+            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            val req = q.split('&').iterator.map(_.split("=", 2))
+              .collectFirst { case Array("req", v) => java.net.URLDecoder.decode(v, "UTF-8") }.getOrElse("")
+            if (req.isEmpty) """{"error": "missing req parameter"}"""
+            else searcher.closeWords(req).map(jstr).mkString("[", ",", "]")
+          } catch {
+            case e: Throwable => s"""{"error": ${jstr(String.valueOf(e.getMessage))}}"""
+          }
         val bytes = resp.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
         ex.sendResponseHeaders(200, bytes.length)

@@ -295,6 +295,12 @@ object Ops {
         labels = next
         iter += 1
       }
+      // a dup chain with diameter > the cap would silently yield split
+      // clusters; fail loudly rather than return non-converged labels
+      if (changed)
+        throw new IllegalStateException(
+          s"dedup_clusters: min-label propagation did not converge in $iter rounds " +
+            "(duplicate-chain diameter exceeds the iteration cap)")
       labels.select(col("doc_id"), col("cluster"),
           (col("doc_id") === col("cluster")).as("is_rep"))
         .orderBy("doc_id")
@@ -375,8 +381,25 @@ object Ops {
     * a bucket stays ~LshTargetBucket vectors no matter the corpus — at
     * 10^12 vectors that's ~34 bits, NOT a constant (a constant would make
     * candidates ≈ N and degenerate to brute force). */
-  private[ops] def lshBits(n: Long): Int =
+  private[graft] def lshBits(n: Long): Int =
     math.max(3, math.ceil(math.log(n.toDouble / LshTargetBucket) / math.log(2.0)).toInt)
+
+  /** One table's bucket for a vector: bit p = sign of the dot product with
+    * hyperplane p. The bucket is a Long — lshBits(N) exceeds 31 past
+    * ~1.4e11 vectors (10^12 docs → ~34 bits), where an Int `1 << p` would
+    * wrap and alias planes, collapsing candidate sets toward brute force. */
+  private[graft] def lshBucket(v: Seq[Float], tablePlanes: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < tablePlanes.length) {
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += tablePlanes(p)(j) * v(j); j += 1 }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
 
   /** LSH-bucketed ANN: L tables of `lshBits(N)` deterministic hyperplanes;
     * candidates = vectors sharing a bucket with the query in any table
@@ -394,21 +417,10 @@ object Ops {
     val planesB = s.sparkContext.broadcast(planes)
     val withBucket = e.as[(Long, Seq[Float])].flatMap { case (id, v) =>
       val ts = planesB.value
-      ts.indices.map { t =>
-        var bucket = 0
-        var p = 0
-        while (p < ts(t).length) {
-          var dot = 0.0
-          var j = 0
-          while (j < v.length) { dot += ts(t)(p)(j) * v(j); j += 1 }
-          if (dot > 0) bucket |= (1 << p)
-          p += 1
-        }
-        (id, t, bucket)
-      }
+      ts.indices.map(t => (id, t, lshBucket(v, ts(t))))
     }.toDF("vec_id", "table", "bucket")
     // multiprobe: bucket ⊕ {0, each single bit}
-    val masks = (0 +: (0 until bits).map(1 << _)).toArray
+    val masks = (0L +: (0 until bits).map(1L << _)).toArray
     val qb = withBucket.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("table"), col("bucket"))
       .withColumn("m", explode(lit(masks)))

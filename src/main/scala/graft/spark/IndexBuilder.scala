@@ -369,15 +369,43 @@ object IndexBuilder {
     * many concurrent writers, which would re-split docs across tasks at
     * scale. Footer reads are distributed (one tiny task per file). Fails
     * the build with guidance rather than corrupting query results later. */
+  /** Recursively list `.parquet` files under `dir` (path, byteLen) via the
+    * Hadoop FileSystem API — works on any supported filesystem, not just
+    * local disk. Fails loudly when the directory cannot be enumerated: a
+    * silent empty answer would quietly disable the row-group verifier and
+    * collapse the reader's maxPartitionBytes to its floor. */
+  def listParquetFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      throw new IllegalStateException(s"index directory does not exist or cannot be listed: $dir")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += ((st.getPath.toString, st.getLen))
+    }
+    out.toSeq
+  }
+
   def verifySingleRowGroup(spark: SparkSession, dir: String): Unit = {
-    def walk(f: java.io.File): Seq[String] =
-      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath) else Nil }
-      else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
-    val files = walk(new java.io.File(dir))
+    val files = listParquetFiles(spark, dir).map(_._1)
     if (files.isEmpty) return
+    // Configuration isn't Serializable; ship the explicitly-set entries and
+    // rebuild per task so non-local filesystems keep their credentials/conf.
+    val confEntries: Array[(String, String)] = {
+      val base = spark.sparkContext.hadoopConfiguration
+      val it = base.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     def rowGroups(p: String): (String, Int) = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p), new org.apache.hadoop.conf.Configuration())
+        new org.apache.hadoop.fs.Path(p), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try (p, r.getRowGroups.size()) finally r.close()
     }
@@ -451,6 +479,37 @@ object IndexBuilder {
       var i = 0
       while (i < n) { pids(i) = in.readUTF(); pends(i) = in.readLong(); i += 1 }
       DocMetaRow(d, name, pids.toSeq, pends.toSeq, dl)
+    }
+  }
+
+  /** decodeMetaBlock restricted to docs the predicate admits: everyone
+    * else's payload bytes are skipped by offset arithmetic (the per-doc
+    * payload length rides the tfs strip), so looking up meta for a few
+    * candidate docs never deserializes the whole bucket's names/page
+    * tables. */
+  def decodeMetaBlockFor(b: PostingBlockRow, want: Long => Boolean): Iterator[DocMetaRow] = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val lenR = new Varint.Reader(b.tfs)
+    val dlR = new Varint.Reader(b.dls)
+    var off = 0
+    (0 until b.nDocs).iterator.flatMap { _ =>
+      val d = docR.next()
+      val len = lenR.nextRaw().toInt
+      val dl = dlR.nextRaw()
+      val start = off
+      off += len
+      if (!want(d)) None
+      else {
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(b.posDeltas, start, len))
+        val name = in.readUTF()
+        val n = in.readInt()
+        val pids = new Array[String](n)
+        val pends = new Array[Long](n)
+        var i = 0
+        while (i < n) { pids(i) = in.readUTF(); pends(i) = in.readLong(); i += 1 }
+        Some(DocMetaRow(d, name, pids.toSeq, pends.toSeq, dl))
+      }
     }
   }
 

@@ -60,11 +60,20 @@ final case class PostingBlockRow(
 /** Term dictionary entry (df = doc freq, cf = collection freq). */
 final case class TermStatRow(term: String, df: Long, cf: Long)
 
-/** Per-doc query evaluation output (internal to SparkSearcher). */
+/** Per-doc query evaluation output (internal to SparkSearcher). Carries the
+  * doc's meta (name, page table, BM25 length) decoded IN-PARTITION from the
+  * doc shard's own MetaTerm blocks — the doc-shard invariant puts a doc's
+  * meta in the same postings file as its term blocks, so the query path
+  * needs no docmeta shuffle join. Meta fields are empty on rows emitted
+  * only for leaf-count aggregation (empty coords). */
 final case class EvalRow(
     docId: Long,
     coords: Array[Long],
     fieldHit: Boolean,
     leafCounts: Array[Long],
     codes: Array[String],
-    tfs: Array[Long])
+    tfs: Array[Long],
+    name: String,
+    pageIds: Seq[String],
+    pageEnds: Seq[Long],
+    docLen: Long)

@@ -69,10 +69,11 @@ final class SparkSearcher(
   // parallelism comes from the file count (= build shuffle partitions),
   // not byte-range splitting.
   locally {
-    def maxIn(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.foldLeft(0L)((m, c) => math.max(m, maxIn(c)))).getOrElse(0L)
-    val maxFile = maxIn(new java.io.File(s"$indexDir/postings"))
+    // Hadoop-FS probe (any filesystem); fails loudly if the postings dir
+    // can't be enumerated — a silent 0 would collapse maxPartitionBytes to
+    // its floor and byte-range-split the doc shards across tasks.
+    val maxFile = IndexBuilder.listParquetFiles(spark, s"$indexDir/postings")
+      .foldLeft(0L)((m, f) => math.max(m, f._2))
     IndexBuilder.postingsReadConfs(maxFile).foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
@@ -229,7 +230,8 @@ final class SparkSearcher(
     val scoringCodes: Array[String] =
       qp.leaves.filter(_.field.isEmpty).flatMap(_.codes).distinct.toArray
 
-    val blocks = postings.filter($"term".isin(codes.toSeq: _*))
+    val blocks = postings.filter(
+      $"term".isin((codes.toSeq :+ IndexBuilder.MetaTerm): _*))
 
     // Doc-sharded index layout: all terms of a document live in the same
     // partition, so per-doc evaluation is a LOCAL mapPartitions (no shuffle).
@@ -237,12 +239,18 @@ final class SparkSearcher(
     // (canMatch), then position bytes are decoded ONLY for candidates —
     // a selective AND query skips most position chains entirely. With
     // withWordInfo the per-leaf counts need every doc, so no skip.
+    // The doc's meta (name, page table, dl) is decoded from the SAME
+    // shard's MetaTerm blocks for result docs only — no docmeta join.
     val qpB = spark.sparkContext.broadcast(qp)
     val scoringB = spark.sparkContext.broadcast(scoringCodes)
     val wantInfo = withWordInfo
     val evals: Dataset[EvalRow] = blocks.mapPartitions { it =>
       val q = qpB.value
-      val rows = it.toArray
+      val rows = mutable.ArrayBuffer.empty[PostingBlockRow]
+      val metaRows = mutable.ArrayBuffer.empty[PostingBlockRow]
+      it.foreach { b =>
+        if (b.term == IndexBuilder.MetaTerm) metaRows += b else rows += b
+      }
       val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
       rows.foreach { b =>
         IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
@@ -258,7 +266,7 @@ final class SparkSearcher(
           byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
         }
       }
-      byDoc.iterator.map { case (docId, m) =>
+      val pre = byDoc.iterator.map { case (docId, m) =>
         val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
         val leafCounts =
           if (wantInfo) q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
@@ -270,7 +278,24 @@ final class SparkSearcher(
           q.fields.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
         } else body
         val tfs = scoringB.value.map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
-        EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs)
+        (docId, coords, fieldHit, leafCounts, tfs)
+      }.toArray
+      val wantMeta = mutable.HashSet.empty[Long]
+      pre.foreach(p => if (p._2.nonEmpty) wantMeta += p._1)
+      val metaMap = mutable.HashMap.empty[Long, DocMetaRow]
+      metaRows.foreach { b =>
+        IndexBuilder.decodeMetaBlockFor(b, wantMeta.contains)
+          .foreach(md => metaMap(md.docId) = md)
+      }
+      pre.iterator.map { case (docId, coords, fieldHit, leafCounts, tfs) =>
+        metaMap.get(docId) match {
+          case Some(md) =>
+            EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs,
+              md.name, md.pageIds, md.pageEnds, md.docLen)
+          case None =>
+            EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs,
+              "", Nil, Nil, 0L)
+        }
       }
     }
 
@@ -282,19 +307,35 @@ final class SparkSearcher(
       else Some(hits.filter(_.fieldHit).orderBy($"docId")
         .limit(Consts.MaxFoundDocs).select($"docId").as[Long].collect().toSet)
 
-    // join page maps, stream in docId order into the shared assembler
-    val withMeta = hits.filter(_.coords.nonEmpty)
-      .joinWith(docMeta, hits("docId") === docMeta("docId"))
-      .orderBy($"_1.docId")
+    // Per-partition page-cap cut before the global sort: keep, in local
+    // docId order, only docs whose PRECEDING cumulative page count is
+    // within MaxFoundPages. Local cumulative ≤ global cumulative at every
+    // docId, so this is a superset of what the global docId-ordered scan
+    // can consume — the sort input (and the driver pull) is bounded by
+    // ~MaxFoundPages docs per partition regardless of how broad the query
+    // is, instead of every hit in the corpus.
+    val capped = hits.filter(_.coords.nonEmpty).mapPartitions { it =>
+      val arr = it.toArray.sortBy(_.docId)
+      val out = mutable.ArrayBuffer.empty[EvalRow]
+      var cum = 0L
+      var i = 0
+      while (i < arr.length && cum <= Consts.MaxFoundPages) {
+        val e = arr(i)
+        out += e
+        cum += Ranker.pagesOf(e.coords, e.pageIds.toArray, e.pageEnds.toArray).length
+        i += 1
+      }
+      out.iterator
+    }
 
-    val docsAsc = withMeta.toLocalIterator()
+    val docsAsc = capped.orderBy($"docId").toLocalIterator()
     val iter = new Iterator[ResultAssembler.DocEval] {
       def hasNext: Boolean = docsAsc.hasNext
       def next(): ResultAssembler.DocEval = {
-        val (e, md) = docsAsc.next()
+        val e = docsAsc.next()
         val codeTfs = e.codes.zip(e.tfs).filter(_._2 > 0).toSeq
-        ResultAssembler.DocEval(e.docId, md.name, e.coords,
-          md.pageIds.toArray, md.pageEnds.toArray, md.docLen, codeTfs)
+        ResultAssembler.DocEval(e.docId, e.name, e.coords,
+          e.pageIds.toArray, e.pageEnds.toArray, e.docLen, codeTfs)
       }
     }
     val (kept, nFoundPages) = ResultAssembler.selectDocs(iter, qp.filters, fieldDocIds)
@@ -358,12 +399,17 @@ final class SparkSearcher(
 
     val plansB = spark.sparkContext.broadcast(plans.toArray)
     val scoringBatch = spark.sparkContext.broadcast(scoringPer.toArray)
-    val blocks = postings.filter($"term".isin(allCodes: _*))
+    val blocks = postings.filter(
+      $"term".isin((allCodes :+ IndexBuilder.MetaTerm): _*))
     val wantInfo = withWordInfo
     val evals: Dataset[(Int, EvalRow)] = blocks.mapPartitions { it =>
       val ps = plansB.value
       val sc = scoringBatch.value
-      val rows = it.toArray
+      val rows = mutable.ArrayBuffer.empty[PostingBlockRow]
+      val metaRows = mutable.ArrayBuffer.empty[PostingBlockRow]
+      it.foreach { b =>
+        if (b.term == IndexBuilder.MetaTerm) metaRows += b else rows += b
+      }
       // presence pass: (docId, tf) only — position bytes untouched
       val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
       rows.foreach { b =>
@@ -388,24 +434,55 @@ final class SparkSearcher(
           byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
         }
       }
-      byDoc.iterator.flatMap { case (docId, m) =>
+      // evaluate, grouped per query (rows without result coords never
+      // survive downstream; they are dropped at the source)
+      val perQi = Array.fill(ps.length)(
+        mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean, Array[Long], Array[Long])])
+      byDoc.foreach { case (docId, m) =>
         val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
-        candQis(docId).iterator.flatMap { qi =>
+        candQis(docId).foreach { qi =>
           val q = ps(qi)
           val body = q.body.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
           val fieldHit = q.fields.exists(a => q.evalDoc(a, get).coords.nonEmpty)
           val coords =
             if (q.body.isEmpty) q.fields.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
             else body
-          if (coords.isEmpty && !fieldHit) None
-          else {
+          if (coords.nonEmpty) {
             val leafCounts =
               if (wantInfo) q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
               else Array.emptyLongArray
             val tfs = sc(qi).map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
-            Some((qi, EvalRow(docId, coords, fieldHit, leafCounts, sc(qi), tfs)))
+            perQi(qi) += ((docId, coords, fieldHit, leafCounts, tfs))
           }
         }
+      }
+      // meta only for docs some query emitted
+      val wantMeta = mutable.HashSet.empty[Long]
+      perQi.foreach(_.foreach(p => wantMeta += p._1))
+      val metaMap = mutable.HashMap.empty[Long, DocMetaRow]
+      metaRows.foreach { b =>
+        IndexBuilder.decodeMetaBlockFor(b, wantMeta.contains)
+          .foreach(md => metaMap(md.docId) = md)
+      }
+      // per (query, partition) page-cap cut in docId order (same soundness
+      // argument as the single-query path): bounds this partition's
+      // contribution to the global sort — and the driver's residual drain —
+      // at ~MaxFoundPages docs per query, however broad the query is.
+      ps.indices.iterator.flatMap { qi =>
+        val arr = perQi(qi).sortBy(_._1)
+        val out = mutable.ArrayBuffer.empty[(Int, EvalRow)]
+        var cum = 0L
+        var i = 0
+        while (i < arr.length && cum <= Consts.MaxFoundPages) {
+          val (docId, coords, fieldHit, leafCounts, tfs) = arr(i)
+          metaMap.get(docId).foreach { md =>
+            out += ((qi, EvalRow(docId, coords, fieldHit, leafCounts, sc(qi), tfs,
+              md.name, md.pageIds, md.pageEnds, md.docLen)))
+            cum += Ranker.pagesOf(coords, md.pageIds.toArray, md.pageEnds.toArray).length
+          }
+          i += 1
+        }
+        out.iterator
       }
     }
 
@@ -442,23 +519,56 @@ final class SparkSearcher(
             val q = ps(qi)
             QueryPlan(None, q.fields, q.filters, q.leaves, q.dist).canMatch(ts.contains)
           }
-          val want: Long => Boolean = d =>
-            present.get(d).exists(ts => fqB.value.exists(qi => canField(qi, ts)))
-          val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
-          rows.foreach { b =>
-            IndexBuilder.decodeBlockFor(b, want).foreach { case (d, _, coords) =>
-              byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+          // docId-ordered CHUNKED evaluation with early exit: field
+          // membership only needs the first `cap` field-matching docs per
+          // query in docId order, so candidates are processed in ascending
+          // chunks and the loop stops once every query is capped — a broad
+          // field term ({Source=web}) decodes ~one chunk of position
+          // chains instead of the whole shard. Chunk size doubles each
+          // round so sparse-match worst cases pay O(log) skip-scans, not
+          // O(candidates/chunk).
+          val candSorted = present.iterator.collect {
+            case (d, ts) if fqB.value.exists(qi => canField(qi, ts)) => d
+          }.toArray
+          java.util.Arrays.sort(candSorted)
+          val hits = fqB.value.map(qi => qi -> mutable.ArrayBuffer.empty[Long]).toMap
+          var chunkSize = math.max(cap, 2048)
+          var idx = 0
+          while (idx < candSorted.length &&
+            fqB.value.exists(qi => hits(qi).length < cap)) {
+            val end = math.min(idx + chunkSize, candSorted.length)
+            val lo = candSorted(idx)
+            val hi = candSorted(end - 1)
+            val inChunk = mutable.HashSet.empty[Long]
+            var ci = idx
+            while (ci < end) { inChunk += candSorted(ci); ci += 1 }
+            val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
+            rows.foreach { b =>
+              if (b.firstDocId <= hi) // blocks carry ascending docIds
+                IndexBuilder.decodeBlockFor(b,
+                  d => d >= lo && d <= hi && inChunk.contains(d)).foreach {
+                  case (d, _, coords) =>
+                    byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+                }
             }
-          }
-          val hits = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Long]]
-          byDoc.foreach { case (docId, m) =>
-            val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
-            fqB.value.foreach { qi =>
-              if (ps(qi).fields.exists(a => ps(qi).evalDoc(a, get).coords.nonEmpty))
-                hits.getOrElseUpdate(qi, mutable.ArrayBuffer.empty) += docId
+            // ascending docId within the chunk keeps per-query hits sorted
+            var j = idx
+            while (j < end) {
+              val docId = candSorted(j)
+              byDoc.get(docId).foreach { m =>
+                val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
+                fqB.value.foreach { qi =>
+                  if (hits(qi).length < cap &&
+                    ps(qi).fields.exists(a => ps(qi).evalDoc(a, get).coords.nonEmpty))
+                    hits(qi) += docId
+                }
+              }
+              j += 1
             }
+            idx = end
+            chunkSize *= 2
           }
-          hits.iterator.map { case (qi, b) => (qi, b.toArray.sorted.take(cap)) }
+          hits.iterator.filter(_._2.nonEmpty).map { case (qi, b) => (qi, b.toArray) }
         }
         perPart.collect().groupBy(_._1).map { case (qi, rows) =>
           qi -> rows.iterator.flatMap(_._2).toArray.sorted.take(cap).toSet
@@ -467,43 +577,44 @@ final class SparkSearcher(
     val fsB = spark.sparkContext.broadcast(fieldSets)
 
     val flagged = evals
-      .filter(p => p._2.coords.nonEmpty)
       .map { case (qi, e) =>
         val inField = fsB.value.get(qi).exists(s => e.fieldHit && s.contains(e.docId))
         (qi, e, inField)
       }
       .toDF("qi", "e", "inField")
-      .joinWith(docMeta, $"e.docId" === docMeta("docId"))
-      .orderBy($"_1.qi", $"_1.e.docId")
+      .orderBy($"qi", $"e.docId")
 
-    // one ordered pull; per-query streaming assembly with exact caps
+    // one ordered pull; per-query streaming assembly with exact caps.
+    // Every partition's contribution was page-cap-cut upstream, so the
+    // residual drain past a query's stop point is bounded, not the full
+    // hit stream of a broad query.
     val rows = flagged.toLocalIterator()
-    val buf: BufferedIterator[(org.apache.spark.sql.Row, DocMetaRow)] =
-      new Iterator[(org.apache.spark.sql.Row, DocMetaRow)] {
+    val buf: BufferedIterator[org.apache.spark.sql.Row] =
+      new Iterator[org.apache.spark.sql.Row] {
         def hasNext: Boolean = rows.hasNext
-        def next(): (org.apache.spark.sql.Row, DocMetaRow) = rows.next()
+        def next(): org.apache.spark.sql.Row = rows.next()
       }.buffered
 
     val keptPer = plans.indices.map { qi =>
       val hasFields = plans(qi).fields.nonEmpty && plans(qi).body.nonEmpty
       val iter: Iterator[(ResultAssembler.DocEval, Boolean)] = new Iterator[(ResultAssembler.DocEval, Boolean)] {
-        def hasNext: Boolean = buf.hasNext && buf.head._1.getInt(0) == qi
+        def hasNext: Boolean = buf.hasNext && buf.head.getInt(0) == qi
         def next(): (ResultAssembler.DocEval, Boolean) = {
-          val (r, md) = buf.next()
+          val r = buf.next()
           val e = r.getStruct(1)
           val docId = e.getLong(0)
           val coords = e.getSeq[Long](1).toArray
           val codes = e.getSeq[String](4)
           val tfs = e.getSeq[Long](5)
           val inField = r.getBoolean(2)
-          (ResultAssembler.DocEval(docId, md.name, coords,
-            md.pageIds.toArray, md.pageEnds.toArray, md.docLen,
+          (ResultAssembler.DocEval(docId, e.getString(6), coords,
+            e.getSeq[String](7).toArray, e.getSeq[Long](8).toArray, e.getLong(9),
             codes.zip(tfs).filter(_._2 > 0)), inField || !hasFields)
         }
       }
       val (kept, nPages) = ResultAssembler.selectDocsFlagged(iter, plans(qi).filters, hasFields)
-      // drain any remaining rows of this query (past the caps)
-      while (buf.hasNext && buf.head._1.getInt(0) == qi) buf.next()
+      // skip residual rows of this query (bounded by the per-partition cut)
+      while (buf.hasNext && buf.head.getInt(0) == qi) buf.next()
       (kept, nPages)
     }
 

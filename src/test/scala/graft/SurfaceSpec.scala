@@ -192,6 +192,25 @@ class SurfaceSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("LSH buckets stay exact past 31 planes (10^12-vector design point)") {
+    // at the stated design scale bits/table exceeds an Int shift's range
+    assert(graft.ops.Ops.lshBits(1000000000000L) > 31)
+    // 34 planes: plane p responds only to dimension p, so a vector of all
+    // ones sets every bucket bit — the bucket must be the full 34-bit mask
+    // (an Int `1 << p` would wrap at p=32,33 and alias them onto bits 0,1)
+    val bits = 34
+    val planes = Array.tabulate(bits, bits)((p, j) => if (p == j) 1.0 else 0.0)
+    val allPos = Seq.fill(bits)(1.0f)
+    assert(graft.ops.Ops.lshBucket(allPos, planes) == (1L << bits) - 1)
+    // sign consistency: flipping exactly dimension 33's sign flips exactly
+    // bucket bit 33, and the two buckets land in different partitions
+    val flipped = allPos.updated(33, -1.0f)
+    val b1 = graft.ops.Ops.lshBucket(allPos, planes)
+    val b2 = graft.ops.Ops.lshBucket(flipped, planes)
+    assert((b1 ^ b2) == (1L << 33))
+    assert(b1 != b2)
+  }
+
   test("native cosine expression equals the HOF formulation bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, sqrt}
