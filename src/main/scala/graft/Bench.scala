@@ -18,12 +18,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def newSession(cpus: Int): SparkSession = {
+  private def newSession(cpus: Int, shufflePartitions: Int = -1): SparkSession = {
     val localDir = sys.env.getOrElse("GRAFT_SPARK_LOCAL_DIR", sys.props("java.io.tmpdir"))
+    val parts = if (shufflePartitions > 0) shufflePartitions else math.max(cpus, 8)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", math.max(cpus, 8).toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -65,8 +66,9 @@ object Bench {
   }
 
   private def runPhase(cpus: Int, corpusPath: String, nDocs: Long, nQueries: Int,
-                       withSearch: Boolean = true): PhaseResult = {
-    val spark = newSession(cpus)
+                       withSearch: Boolean = true,
+                       shufflePartitions: Int = -1): PhaseResult = {
+    val spark = newSession(cpus, shufflePartitions)
     val gc0 = gcMillis
     try {
       val idxDir = s"${sys.props("java.io.tmpdir")}/graft-bench-idx-$cpus"
@@ -186,7 +188,7 @@ object Bench {
     // query batch amortize the fixed per-job costs that would otherwise
     // read as scaling loss; 3 interleaved reps, best-of, per-rep samples
     // reported as evidence.
-    val smallReps = sys.env.getOrElse("GRAFT_BENCH_SMALL_REPS", "3").toInt
+    val smallReps = sys.env.getOrElse("GRAFT_BENCH_SMALL_REPS", "5").toInt
     val headlinePair: Seq[(String, Double)] =
       if (sys.env.get("GRAFT_BENCH_SMALL_PAIR").contains("0") || cpus < 8) Nil
       else {
@@ -201,48 +203,59 @@ object Bench {
           graft.fixtures.PagesGen.pages(s, sDocs, parts = 32).write.mode("overwrite").parquet(sPath)
           s.stop()
         }
+        // Each rep = adjacent c2 + c8 runs PLUS a raw-thread hardware probe
+        // in the same noise window. Efficiency is computed WITHIN a rep
+        // (same window) and CLAMPED at that window's hardware ceiling: a
+        // Spark job cannot scale better than raw JVM threads on the same
+        // box in the same minute, so any rep reading above the ceiling is
+        // measuring the VM's noise (e.g. a starved c2 leg), not the
+        // framework — the clamp makes superlinear artifacts unreproducible.
+        // Headline = MEDIAN of the clamped per-rep efficiencies (≥5 reps);
+        // per-rep samples and ceilings stay in the record as evidence.
+        // Both legs run the SAME partition count (24): per-task work is
+        // identical, and multiple waves per core count keep stragglers from
+        // reading as scaling loss (8 tasks on 8 cores is one wave — any
+        // slow task extends the whole job only on the c8 leg).
         val reps = (0 until smallReps).map { _ =>
-          (runPhase(2, sPath, sDocs, sQueries, withSearch = false),
-            runPhase(8, sPath, sDocs, sQueries, withSearch = false))
+          val r2 = runPhase(2, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
+          val r8 = runPhase(8, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
+          val hw2 = (0 until 2).map(_ => hwProbe(2)).max
+          val hw8 = (0 until 2).map(_ => hwProbe(8)).max
+          (r2, r8, (hw8 / hw2) / 4.0)
         }
-        // hw ceiling for THIS pair in the same window: what raw JVM
-        // threads (no Spark) give for the same tokenize workload
-        val hw2 = (0 until 2).map(_ => hwProbe(2)).max
-        val hw8 = (0 until 2).map(_ => hwProbe(8)).max
         val d2 = reps.map(_._1.buildDps).max; val d8 = reps.map(_._2.buildDps).max
         val q2 = reps.map(_._1.qps).max; val q8 = reps.map(_._2.qps).max
-        val samples = reps.zipWithIndex.flatMap { case ((r2, r8), ri) =>
-          Seq(s"build_dps_c2_r$ri" -> r2.buildDps, s"build_dps_c8_r$ri" -> r8.buildDps,
-            s"bm25_qps_c2_r$ri" -> r2.qps, s"bm25_qps_c8_r$ri" -> r8.qps)
+        def clamp(raw: Double, ceil: Double): Double =
+          math.min(raw, math.min(ceil, 1.0))
+        val rawB = reps.map(r => (r._2.buildDps / r._1.buildDps) / 4.0)
+        val rawQ = reps.map(r => (r._2.qps / r._1.qps) / 4.0)
+        val effsB = rawB.zip(reps).map { case (e, r) => clamp(e, r._3) }
+        val effsQ = rawQ.zip(reps).map { case (e, r) => clamp(e, r._3) }
+        def median(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
-        val hwEff = (hw8 / hw2) / 4.0
-        // Efficiency is computed WITHIN a rep (its c2 and c8 runs are
-        // adjacent in time, i.e. the same host-noise window) and the best
-        // rep is the headline — mixing the fastest c2 of one window with
-        // the fastest c8 of another measures the VM's drift, not the
-        // framework. Throughput keys stay best-of; per-rep samples above
-        // are the evidence.
-        val effB = reps.map(r => (r._2.buildDps / r._1.buildDps) / 4.0).max
-        val effQ = reps.map(r => (r._2.qps / r._1.qps) / 4.0).max
-        def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-        val medB = median(reps.map(r => (r._2.buildDps / r._1.buildDps) / 4.0))
-        val medQ = median(reps.map(r => (r._2.qps / r._1.qps) / 4.0))
+        val samples = reps.zipWithIndex.flatMap { case ((r2, r8, ceil), ri) =>
+          Seq(s"build_dps_c2_r$ri" -> r2.buildDps, s"build_dps_c8_r$ri" -> r8.buildDps,
+            s"bm25_qps_c2_r$ri" -> r2.qps, s"bm25_qps_c8_r$ri" -> r8.qps,
+            s"hw_ceiling_2to8_r$ri" -> ceil,
+            s"eff_build_raw_r$ri" -> rawB(ri), s"eff_query_raw_r$ri" -> rawQ(ri))
+        }
         Seq(
           "build_docs_per_sec_c2" -> d2, "build_docs_per_sec_c8small" -> d8,
           "bm25_qps_c2" -> q2, "bm25_qps_c8small" -> q8,
-          "scaling_efficiency_build" -> effB,
-          "scaling_efficiency_query" -> effQ,
-          "scaling_efficiency_build_median" -> medB,
-          "scaling_efficiency_query_median" -> medQ,
+          // HEADLINE: median of per-rep within-window efficiencies, each
+          // clamped at its own window's raw-thread ceiling (and at 1.0)
+          "scaling_efficiency_build" -> median(effsB),
+          "scaling_efficiency_query" -> median(effsQ),
+          "scaling_efficiency_build_median" -> median(effsB),
+          "scaling_efficiency_query_median" -> median(effsQ),
+          "scaling_efficiency_build_min" -> effsB.min,
+          "scaling_efficiency_query_min" -> effsQ.min,
           "scaling_efficiency_build_crosswindow" -> (d8 / d2) / 4.0,
           "scaling_efficiency_query_crosswindow" -> (q8 / q2) / 4.0,
-          "hw_tokenize_dps_c2" -> hw2,
-          "hw_ceiling_efficiency_2to8" -> hwEff,
-          // efficiency relative to what raw JVM threads achieve on this
-          // shared VM in the same window (capped at 1): the framework
-          // cannot scale better than the box it runs on
-          "scaling_efficiency_build_vs_hw" -> math.min(1.0, effB / hwEff),
-          "scaling_efficiency_query_vs_hw" -> math.min(1.0, effQ / hwEff),
+          "hw_ceiling_efficiency_2to8" -> median(reps.map(_._3)),
+          "small_pair_reps" -> smallReps.toDouble,
           "small_pair_docs" -> sDocs.toDouble,
           "small_pair_queries" -> sQueries.toDouble) ++ samples
       }

@@ -84,12 +84,18 @@ object IndexBuilder {
   /** pages → extracted forward-index rows with deterministic url-sorted
     * docIds starting at `baseDocId`.
     *
-    * Extraction runs ONCE, in the shuffle MAP stage — its output is reused
-    * by both of zipWithIndex's jobs, and the range exchange plus its two
-    * reduce-side sort passes carry extracted text (≈half the raw html
-    * bytes) instead of the raw payload. Range bounds are sampled from a
-    * urls-only projection (column-pruned parquet scan), so the sampling
-    * pass never touches the html column. No corpus-sized persist: at
+    * docIds are assigned on a URLS-ONLY range exchange (~tens of bytes per
+    * row): zipWithIndex's two jobs (count pass + map pass) re-read and
+    * re-sort only url keys, never payloads. The extracted payload is range-
+    * exchanged ONCE with the SAME partitioner and merged back per partition
+    * in lockstep (both sides are the same url multiset sorted the same
+    * way), so the expensive shuffle is written once and reduce-side-sorted
+    * once — previously the payload shuffle was sorted twice, which showed
+    * as ~0.74 pair efficiency for this stage vs 0.85 for postings.
+    * Output stays url-sorted = docId-clustered, which the snippet
+    * point-lookup layout relies on. Extraction runs ONCE, in the payload
+    * shuffle's MAP stage; range bounds are sampled from a urls-only
+    * projection (column-pruned parquet scan). No corpus-sized persist: at
     * 100 TB local disk is the scarce resource, so the shuffle files are
     * re-read rather than cached (SURVEY §7.1 rationale).
     *
@@ -115,11 +121,16 @@ object IndexBuilder {
       (url, (hdr, ex.text))
     }
     val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val partitioner = new org.apache.spark.RangePartitioner(parts,
-      pages.select($"url").as[String].rdd.map((_, null)))
-    val sorted = extracted.repartitionAndSortWithinPartitions(partitioner)
-    sorted.zipWithIndex().mapPartitions { it =>
-      it.flatMap { case ((url, (hdr, body)), i) =>
+    val urls = pages.select($"url").as[String].rdd.map((_, null))
+    val partitioner = new org.apache.spark.RangePartitioner(parts, urls)
+    // ids: partition p holds exactly the sorted urls of payload partition p
+    val ids = urls.repartitionAndSortWithinPartitions(partitioner)
+      .zipWithIndex()
+      .mapPartitions(_.map { case ((u, _), i) => (u, i) }, preservesPartitioning = true)
+    val sortedPayload = extracted.repartitionAndSortWithinPartitions(partitioner)
+    sortedPayload.zipPartitions(ids) { (pIt, idIt) =>
+      pIt.zip(idIt).flatMap { case ((url, (hdr, body)), (idUrl, i)) =>
+        require(url == idUrl, s"docId assignment out of sync: $url vs $idUrl")
         if (body.isEmpty) None
         else Some(DocTextRow(baseDocId + i, srcName + Consts.DocSep + url, hdr, body))
       }
