@@ -115,13 +115,14 @@ object Main {
       println(s"vacuumed: expiredSnapshots=$expired deletedFiles=$deleted keep=$keep")
 
     case "buildvoc" :: in :: out :: rest =>
-      // lemma file (lemma<TAB>forms...) → binary .voc usable via --voc
-      val stemmer = rest match {
-        case "--stemmer" :: s :: _ => s
-        case _ => "en"
-      }
-      val n = graft.text.VocBuilder.buildFile(in, out, stemmer)
-      println(s"built vocab: entries=$n stemmer=$stemmer → $out")
+      // lemma file / OpenCorpora XML dump / FreeLib folder → binary .voc
+      // usable via --voc
+      def opt(name: String, default: String): String =
+        rest.sliding(2).collectFirst { case Seq(`name`, v) => v }.getOrElse(default)
+      val format = opt("--format", "lemmas")
+      val stemmer = opt("--stemmer", if (format == "opencorpora") "ru" else "en")
+      val n = graft.text.VocBuilder.buildFile(in, out, stemmer, format)
+      println(s"built vocab: entries=$n stemmer=$stemmer format=$format → $out")
 
     case "serve" :: indexDir :: rest =>
       val spark = session()
@@ -130,7 +131,7 @@ object Main {
 
     case _ =>
       System.err.println(
-        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | buildvoc <lemmas.txt> <out.voc> [--stemmer en|ru|de|fr] | serve <indexDir> [port]")
+        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | buildvoc <lemmas.txt|dict.xml|folder> <out.voc> [--stemmer en|ru|de|fr] [--format lemmas|opencorpora|freelib] | serve <indexDir> [port]")
       sys.exit(2)
   }
 

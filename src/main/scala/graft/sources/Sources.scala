@@ -106,22 +106,112 @@ object XmlManifestSource {
   */
 object DbSource {
 
+  /** content sniff of a blob's first bytes, the reference's dispatch rule
+    * (DBDataSource.cs:98-130): %PDF magic → Pdf, "<html" within the first
+    * 4000 bytes → Html, else Text (UTF-8 per the engine's charset
+    * contract; the reference runs a charset detector here). */
+  private[sources] final val SniffPdf = 0
+  private[sources] final val SniffHtml = 1
+  private[sources] final val SniffText = 2
+  private[sources] def sniff(bytes: Array[Byte]): Int = {
+    if (bytes == null || bytes.isEmpty) SniffText
+    else if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F') SniffPdf
+    else {
+      val head = new String(bytes, 0, math.min(4000, bytes.length),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (head.contains("<html")) SniffHtml else SniffText
+    }
+  }
+
+  private def headerExpr(nameCol: String, headerCols: Seq[String], sourceName: String) =
+    concat(
+      (Seq(concat_ws("", lit("Name="), col(nameCol), lit("\n")),
+        lit(s"Source=$sourceName\n")) ++
+        headerCols.map(c => concat_ws("", lit(s"$c="), coalesce(col(c).cast("string"), lit("")), lit("\n")))): _*)
+
+  private def shape(df: DataFrame): DataFrame = {
+    df.withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("lang", lit(null).cast("string"))
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"), col("header"))
+  }
+
+  /** IndexType.Text: the text column IS the body. */
   def pages(spark: SparkSession, jdbcUrl: String, query: String,
             nameCol: String, textCol: String, headerCols: Seq[String] = Nil,
             sourceName: String = "db",
             connectionProperties: java.util.Properties = new java.util.Properties()): DataFrame = {
-    import spark.implicits._
     val rel = spark.read.jdbc(jdbcUrl, s"($query) graft_src", connectionProperties)
-    val hdrExpr = concat(
-      (Seq(concat_ws("", lit("Name="), col(nameCol), lit("\n")),
-        lit(s"Source=$sourceName\n")) ++
-        headerCols.map(c => concat_ws("", lit(s"$c="), coalesce(col(c).cast("string"), lit("")), lit("\n")))): _*)
     rel.select(
       col(nameCol).cast("string").as("url"),
       lit(null).cast("timestamp").as("warc_ts"),
       lit(null).cast("binary").as("html"),
       col(textCol).cast("string").as("text"),
       lit(null).cast("string").as("lang"),
-      hdrExpr.as("header"))
+      headerExpr(nameCol, headerCols, sourceName).as("header"))
+  }
+
+  /** IndexType.Blob (DBDataSource.cs:51-103): documents stored in a blob
+    * column, dispatched by content sniff — HTML blobs go through the
+    * extraction pipeline (`html` column), text blobs decode as UTF-8, PDF
+    * blobs are skipped (PDF extraction is declared out of scope, SURVEY
+    * §2.1 S4). Sniffing runs distributed, per JDBC partition. */
+  def blobPages(spark: SparkSession, jdbcUrl: String, query: String,
+                nameCol: String, blobCol: String, headerCols: Seq[String] = Nil,
+                sourceName: String = "db",
+                connectionProperties: java.util.Properties = new java.util.Properties()): DataFrame = {
+    import spark.implicits._
+    val rel = spark.read.jdbc(jdbcUrl, s"($query) graft_src", connectionProperties)
+    val base = rel.select(
+      col(nameCol).cast("string").as("url"),
+      col(blobCol).cast("binary").as("blob"),
+      headerExpr(nameCol, headerCols, sourceName).as("header"))
+      .as[(String, Array[Byte], String)]
+    val dispatched = base.flatMap { case (url, blob, header) =>
+      sniff(blob) match {
+        case SniffHtml => Some((url, blob, null.asInstanceOf[String], header))
+        case SniffText =>
+          Some((url, null.asInstanceOf[Array[Byte]],
+            if (blob == null) "" else new String(blob, java.nio.charset.StandardCharsets.UTF_8),
+            header))
+        case _ => None // %PDF: out of scope
+      }
+    }.toDF("url", "html", "text", "header")
+    shape(dispatched)
+  }
+
+  /** IndexType.File (DBDataSource.cs:110-136): the column holds a path
+    * relative to `basePath`; file bytes are read distributed and
+    * dispatched with the same sniff (a `.pdf` extension short-circuits to
+    * the PDF skip like the reference's extension check). */
+  def filePages(spark: SparkSession, jdbcUrl: String, query: String,
+                nameCol: String, fileCol: String, basePath: String,
+                headerCols: Seq[String] = Nil, sourceName: String = "db",
+                connectionProperties: java.util.Properties = new java.util.Properties()): DataFrame = {
+    import spark.implicits._
+    val rel = spark.read.jdbc(jdbcUrl, s"($query) graft_src", connectionProperties)
+    val base = rel.select(
+      col(nameCol).cast("string").as("url"),
+      col(fileCol).cast("string").as("file"),
+      headerExpr(nameCol, headerCols, sourceName).as("header"))
+      .as[(String, String, String)]
+    val dispatched = base.flatMap { case (url, file, header) =>
+      if (file == null || file.toLowerCase(java.util.Locale.ROOT).endsWith(".pdf")) None
+      else {
+        val p = java.nio.file.Paths.get(basePath, file)
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          sniff(bytes) match {
+            case SniffHtml => Some((url, bytes, null.asInstanceOf[String], header))
+            case SniffText =>
+              Some((url, null.asInstanceOf[Array[Byte]],
+                new String(bytes, java.nio.charset.StandardCharsets.UTF_8), header))
+            case _ => None
+          }
+        }
+      }
+    }.toDF("url", "html", "text", "header")
+    shape(dispatched)
   }
 }

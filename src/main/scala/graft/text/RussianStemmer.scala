@@ -58,8 +58,11 @@ object RussianStemmer {
         if (w.endsWith(suf) && w.length - suf.length >= rv) {
           if (!precededByAYa) { w = w.dropRight(suf.length); return true }
           else {
+            // the preceding а/я is part of the matched pattern, so it must
+            // itself lie within RV (знает: 'а' is RV's trigger vowel, not
+            // inside RV → no removal; играет: 'а' is inside RV → remove)
             val p = w.length - suf.length - 1
-            if (p >= 0 && (w.charAt(p) == 'а' || w.charAt(p) == 'я')) {
+            if (p >= rv && (w.charAt(p) == 'а' || w.charAt(p) == 'я')) {
               w = w.dropRight(suf.length); return true
             }
           }

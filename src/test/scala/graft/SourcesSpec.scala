@@ -80,4 +80,76 @@ class SourcesSpec extends AnyFunSuite {
     val byField = sr.search("snapshot {AUTHOR=bob}", SearchOptions())
     assert(byField.docs.size == 1)
   }
+
+  test("DB blob mode: sniff dispatches html/text/pdf blobs (Derby e2e)") {
+    val url = "jdbc:derby:memory:graftblobdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val create = conn.createStatement()
+      create.execute("CREATE TABLE blobdocs (name VARCHAR(64), payload BLOB)")
+      create.close()
+      val st = conn.prepareStatement("INSERT INTO blobdocs VALUES (?, ?)")
+      def put(name: String, bytes: Array[Byte]): Unit = {
+        st.setString(1, name)
+        st.setBytes(2, bytes)
+        st.executeUpdate()
+      }
+      put("h-001",
+        "<html><head><title>Salted partitions</title></head><body>distributed indexing with salted partitions</body></html>"
+          .getBytes("UTF-8"))
+      put("t-002", "plain text about snapshot manifests".getBytes("UTF-8"))
+      put("p-003", "%PDF-1.4 zorkmid payload".getBytes("UTF-8"))
+      st.close()
+    } finally conn.close()
+
+    val pages = DbSource.blobPages(spark, url,
+      "SELECT name, payload FROM blobdocs",
+      nameCol = "NAME", blobCol = "PAYLOAD", sourceName = "db")
+    // the PDF blob is skipped; html + text blobs survive
+    assert(pages.count() == 2)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-blobidx").toString
+    IndexBuilder.build(spark, pages, idx, IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "db"))
+    val sr = new SparkSearcher(spark, idx, Analyzer())
+
+    // the html blob went through extraction: body text is searchable and
+    // markup is not
+    val hit = sr.search("salted", SearchOptions())
+    assert(hit.docs.map(_.name) == Seq("db:h-001"))
+    assert(sr.search("head", SearchOptions()).docs.isEmpty)
+    // the text blob indexed as UTF-8 text
+    assert(sr.search("manifests", SearchOptions()).docs.map(_.name) == Seq("db:t-002"))
+    // the pdf blob is absent
+    assert(sr.search("zorkmid", SearchOptions()).docs.isEmpty)
+  }
+
+  test("DB file mode: paths resolve against basePath with sniffing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dbfiles")
+    java.nio.file.Files.writeString(dir.resolve("one.html"),
+      "<html><body>ranking functions over inner products</body></html>")
+    java.nio.file.Files.writeString(dir.resolve("two.txt"),
+      "sessionization joins over event streams")
+    val url = "jdbc:derby:memory:graftfiledb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE filedocs (name VARCHAR(64), relpath VARCHAR(256))")
+      st.execute("INSERT INTO filedocs VALUES ('f-001', 'one.html')")
+      st.execute("INSERT INTO filedocs VALUES ('f-002', 'two.txt')")
+      st.execute("INSERT INTO filedocs VALUES ('f-003', 'skipme.pdf')")
+      st.execute("INSERT INTO filedocs VALUES ('f-004', 'missing.txt')")
+      st.close()
+    } finally conn.close()
+
+    val pages = DbSource.filePages(spark, url,
+      "SELECT name, relpath FROM filedocs",
+      nameCol = "NAME", fileCol = "RELPATH", basePath = dir.toString, sourceName = "db")
+    // .pdf extension and missing file are skipped
+    assert(pages.count() == 2)
+    val rows = pages.collect()
+    val html = rows.find(_.getAs[String]("url") == "f-001").get
+    assert(html.getAs[Array[Byte]]("html") != null)
+    val txt = rows.find(_.getAs[String]("url") == "f-002").get
+    assert(txt.getAs[String]("text").contains("sessionization"))
+  }
 }
