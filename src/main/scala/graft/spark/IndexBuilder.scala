@@ -121,7 +121,13 @@ object IndexBuilder {
       (url, (hdr, ex.text))
     }
     val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val urls = pages.select($"url").as[String].rdd.map((_, null))
+    // urls are tiny (~tens of bytes/row) but the scan inherits the
+    // html-sized split config — coalesce to one partition per core so the
+    // sampling and count jobs pay task-launch overhead per core, not per
+    // html-sized split
+    val urls = pages.select($"url").as[String].rdd
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+      .map((_, null))
     val partitioner = new org.apache.spark.RangePartitioner(parts, urls)
     // ids: partition p holds exactly the sorted urls of payload partition p
     val ids = urls.repartitionAndSortWithinPartitions(partitioner)
@@ -174,6 +180,26 @@ object IndexBuilder {
     // ---- stage 1: doctext (extract + docId assignment) ----
     if (IndexStore.stageDone(indexDir, "doctext", sig)) resumed += "doctext"
     else {
+      // Size the INPUT scan's splits like the tokenize stages below: the
+      // extraction map runs inside this scan, and with the default 128 MB
+      // maxPartitionBytes a small corpus packs into a handful of
+      // FilePartitions — extraction then can't use all cores. ≥3 splits
+      // per core; at real scale bytes/(3·cores) exceeds 128 MB and this
+      // clamps to the default.
+      val inputBytes = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        pages.inputFiles.foldLeft(0L) { (acc, f) =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            acc + p.getFileSystem(conf).getFileStatus(p).getLen
+          } catch { case _: Throwable => acc }
+        }
+      }
+      if (inputBytes > 0) {
+        val split = math.min(128L << 20,
+          math.max(1L << 20, inputBytes / math.max(1, spark.sparkContext.defaultParallelism * 3)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+      }
       val docText = extractDocText(spark, pages, cfg.sourceName, cfg.includeHeaders, 0L)
       docText.write.mode("overwrite").parquet(docTextPath)
       // row count comes from the docmeta aggregate in stage 2 (same rows);
@@ -251,7 +277,9 @@ object IndexBuilder {
 
       blocks.write.mode("overwrite")
         .options(postingsWriteOptions).parquet(postingsPath)
+      mark("stage2-write")
       verifySingleRowGroup(spark, postingsPath)
+      mark("stage2-verify")
       // ONE column-pruned job computes every global scalar: total postings
       // + block count, and N/sumDl decoded from the meta blocks' dls
       // channel (no separate docmeta aggregate job).
@@ -421,9 +449,20 @@ object IndexBuilder {
       try (p, r.getRowGroups.size()) finally r.close()
     }
     // footer reads are cheap: stay driver-side for few files (no extra
-    // Spark job in the build's fixed-cost budget), distribute when many
+    // Spark job in the build's fixed-cost budget; a local thread pool
+    // hides the per-footer open latency), distribute when many
     val bad =
-      if (files.size <= 64) files.map(rowGroups).filter(_._2 > 1).toArray
+      if (files.size <= 64) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, files.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val futures = files.map(f =>
+            pool.submit(new java.util.concurrent.Callable[(String, Int)] {
+              def call(): (String, Int) = rowGroups(f)
+            }))
+          futures.map(_.get()).filter(_._2 > 1).toArray
+        } finally pool.shutdown()
+      }
       else spark.sparkContext
         .parallelize(files, math.min(files.size, spark.sparkContext.defaultParallelism))
         .map(rowGroups)
