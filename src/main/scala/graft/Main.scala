@@ -124,6 +124,11 @@ object Main {
       val n = graft.text.VocBuilder.buildFile(in, out, stemmer, format)
       println(s"built vocab: entries=$n stemmer=$stemmer format=$format → $out")
 
+    case "console" :: indexDir :: Nil =>
+      // interactive search with per-keystroke autocomplete (Program.cs:268)
+      val spark = session()
+      ConsoleRepl.run(searcher(spark, indexDir))
+
     case "serve" :: indexDir :: rest =>
       val spark = session()
       val port = rest.headOption.map(_.toInt).getOrElse(9001)
@@ -131,7 +136,7 @@ object Main {
 
     case _ =>
       System.err.println(
-        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | buildvoc <lemmas.txt|dict.xml|folder> <out.voc> [--stemmer en|ru|de|fr] [--format lemmas|opencorpora|freelib] | serve <indexDir> [port]")
+        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | buildvoc <lemmas.txt|dict.xml|folder> <out.voc> [--stemmer en|ru|de|fr] [--format lemmas|opencorpora|freelib] | console <indexDir> | serve <indexDir> [port]")
       sys.exit(2)
   }
 

@@ -280,19 +280,24 @@ object Ops {
       val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
       edges.cache()
       var labels = verts.select(col("doc_id"), col("doc_id").as("cluster"))
+      var cachedPrev: DataFrame = null
       var changed = true
       var iter = 0
       while (changed && iter < 32) {
         val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
           .groupBy(col("dst").as("doc_id")).agg(min("cluster").as("nc"))
-        val next = labels.join(prop, Seq("doc_id"), "left")
+        // carry the changed flag on each row: convergence is then one
+        // filter+limit over the (cached) next frame, not an extra
+        // next⋈labels join job per round
+        val step = labels.join(prop, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
-        next.cache()
-        changed = next.as("n").join(labels.as("o"), "doc_id")
-          .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
-        labels.unpersist()
-        labels = next
+            least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"),
+            (coalesce(col("nc"), col("cluster")) < col("cluster")).as("chg"))
+        step.cache()
+        changed = step.filter(col("chg")).limit(1).count() > 0
+        if (cachedPrev != null) cachedPrev.unpersist()
+        cachedPrev = step
+        labels = step.select(col("doc_id"), col("cluster"))
         iter += 1
       }
       // a dup chain with diameter > the cap would silently yield split
@@ -475,6 +480,68 @@ object Ops {
   val annLsh = Op("ann_lsh_topk",
     (s, dir) => annLshTopK(s, emb(s, dir), 5),
     Some(lshOracleSql(bits = 3, dim = 64)))
+
+  /** Embedding-cosine near-duplicate pairs, the scale path: candidates =
+    * vector pairs sharing an LSH bucket in ANY table (never the O(N²)
+    * cross join), exact cosine only over candidates, threshold + top-50.
+    * The same hyperplane machinery as annLshTopK keeps bucket population
+    * ~constant at any corpus size. On this synthetic corpus no true dups
+    * exist, so the threshold (0.35) exercises the machinery on the
+    * closest-pair tail; with real near-dups (cos → 1) LSH recall only
+    * improves. */
+  def dedupEmbeddingPairs(s: SparkSession, e0: DataFrame, tau: Double, k: Int): DataFrame = {
+    import s.implicits._
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val bits = lshBits(n)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(LshTables, bits, dim)((t, p, j) => lshSign(t, p, j))
+    val planesB = s.sparkContext.broadcast(planes)
+    val withBucket = e.as[(Long, Seq[Float])].flatMap { case (id, v) =>
+      val ts = planesB.value
+      ts.indices.map(t => (id, t, lshBucket(v, ts(t))))
+    }.toDF("vec_id", "table", "bucket")
+    val cand = withBucket.as("x").join(withBucket.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
+    graft.functions.CosineSimilarity.register(s)
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("qv")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("embedding")), Seq("b"))
+      .select(col("a"), col("b"), round(expr("graft_cosine(qv, embedding)"), 5).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy(desc("cos"), col("a"), col("b")).limit(k)
+  }
+
+  private[ops] def embDedupOracleSql(bits: Int, dim: Int, tau: Double, k: Int): String = {
+    def planeLit(t: Int, p: Int): String =
+      (0 until dim).map(j => if (lshSign(t, p, j) > 0) "1" else "-1").mkString("[", ",", "]")
+    val tableSelects = (0 until LshTables).map { t =>
+      val bucket = (0 until bits).map { p =>
+        s"(CASE WHEN list_dot_product(${planeLit(t, p)}::DOUBLE[], v) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  $tableSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM b x JOIN b y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id),
+       |cos AS (
+       |  SELECT c.a, c.b,
+       |         round(list_dot_product(ea.v, eb.v) /
+       |               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 5) AS cos
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b)
+       |SELECT a, b, cos FROM cos WHERE cos >= $tau ORDER BY cos DESC, a, b LIMIT $k""".stripMargin
+  }
+
+  val dedupEmbedding = Op("dedup_embedding",
+    (s, dir) => dedupEmbeddingPairs(s, emb(s, dir), tau = 0.35, k = 50),
+    Some(embDedupOracleSql(bits = 3, dim = 64, tau = 0.35, k = 50)))
 
   // ---------- events: windows + sessionization ----------
 
@@ -672,7 +739,7 @@ object Ops {
   val all: Seq[Op] = Seq(
     tokenCount, qualityScore, langId, fingerprint,
     dedupExact, minhashSig, minhashPairs, simhash, ngramJaccard, dedupClusters,
-    annBrute, annLsh,
+    dedupEmbedding, annBrute, annLsh,
     eventsHourly, sessionize,
     q1Agg, q3Join, topCustomers, mmBinaryMeta, mmResize, mmFrameSample)
 }
