@@ -438,6 +438,20 @@ final class SparkSearcher(
       // survive downstream; they are dropped at the source)
       val perQi = Array.fill(ps.length)(
         mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean, Array[Long], Array[Long])])
+      // Amortized compaction bound: only the first MaxFoundPages+1 docs by
+      // docId can survive the page-cap cut (each doc has ≥1 page, so
+      // cumulative-before ≥ sorted index). Dropping a doc stays sound as
+      // more (possibly smaller-docId) docs arrive: additions only GROW a
+      // dropped doc's cumulative-before. Keeps a broad-query batch's
+      // intermediate buffers at ~2×cap per query instead of every hit in
+      // the shard (the pre-cut output used to stream into Spark's
+      // spillable sorter; an unbounded in-heap buffer would regress that).
+      val compactBound = Consts.MaxFoundPages + 1
+      def compact(qi: Int): Unit = {
+        val kept = perQi(qi).sortBy(_._1).take(compactBound)
+        perQi(qi).clear()
+        perQi(qi) ++= kept
+      }
       byDoc.foreach { case (docId, m) =>
         val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
         candQis(docId).foreach { qi =>
@@ -453,6 +467,7 @@ final class SparkSearcher(
               else Array.emptyLongArray
             val tfs = sc(qi).map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
             perQi(qi) += ((docId, coords, fieldHit, leafCounts, tfs))
+            if (perQi(qi).length >= 2 * compactBound) compact(qi)
           }
         }
       }
