@@ -447,27 +447,41 @@ final class SparkSearcher(
       // the shard (the pre-cut output used to stream into Spark's
       // spillable sorter; an unbounded in-heap buffer would regress that).
       val compactBound = Consts.MaxFoundPages + 1
+      // trigger override (test-only, local mode): forces compaction on
+      // tiny fixtures so the path is exercised without 60k-doc hits
+      val compactTrigger = sys.props.get("graft.compact.trigger")
+        .map(_.toInt).getOrElse(2 * compactBound)
       def compact(qi: Int): Unit = {
         val kept = perQi(qi).sortBy(_._1).take(compactBound)
         perQi(qi).clear()
         perQi(qi) ++= kept
       }
+      // per-leaf raw counts summed over EVERY evaluated doc (the
+      // single-query path's word-info semantics); shipped to the driver as
+      // one sentinel row per (query, partition), never per doc
+      val wordSums: Array[Array[Long]] =
+        if (wantInfo) Array.tabulate(ps.length)(qi => new Array[Long](ps(qi).leaves.length))
+        else null
       byDoc.foreach { case (docId, m) =>
         val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
         candQis(docId).foreach { qi =>
           val q = ps(qi)
+          if (wantInfo) {
+            var li = 0
+            while (li < q.leaves.length) {
+              wordSums(qi)(li) += q.leaves(li).seq(get, q.dist).coords.length.toLong
+              li += 1
+            }
+          }
           val body = q.body.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
           val fieldHit = q.fields.exists(a => q.evalDoc(a, get).coords.nonEmpty)
           val coords =
             if (q.body.isEmpty) q.fields.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
             else body
           if (coords.nonEmpty) {
-            val leafCounts =
-              if (wantInfo) q.leaves.map(lp => lp.seq(get, q.dist).coords.length.toLong).toArray
-              else Array.emptyLongArray
             val tfs = sc(qi).map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
-            perQi(qi) += ((docId, coords, fieldHit, leafCounts, tfs))
-            if (perQi(qi).length >= 2 * compactBound) compact(qi)
+            perQi(qi) += ((docId, coords, fieldHit, Array.emptyLongArray, tfs))
+            if (perQi(qi).length >= compactTrigger) compact(qi)
           }
         }
       }
@@ -486,6 +500,12 @@ final class SparkSearcher(
       ps.indices.iterator.flatMap { qi =>
         val arr = perQi(qi).sortBy(_._1)
         val out = mutable.ArrayBuffer.empty[(Int, EvalRow)]
+        // sentinel word-count row: docId = -1 sorts before any real doc of
+        // this query in the global (qi, docId) order, so the driver reads
+        // the per-partition count sums before the doc stream
+        if (wantInfo && wordSums(qi).exists(_ != 0L))
+          out += ((qi, EvalRow(-1L, Array.emptyLongArray, fieldHit = false,
+            wordSums(qi), Array.empty, Array.emptyLongArray, "", Nil, Nil, 0L)))
         var cum = 0L
         var i = 0
         while (i < arr.length && cum <= Consts.MaxFoundPages) {
@@ -610,8 +630,18 @@ final class SparkSearcher(
         def next(): org.apache.spark.sql.Row = rows.next()
       }.buffered
 
+    val wordCounts = Array.fill(plans.length)(Array.emptyLongArray)
     val keptPer = plans.indices.map { qi =>
       val hasFields = plans(qi).fields.nonEmpty && plans(qi).body.nonEmpty
+      // sentinel rows (docId = -1) carry this query's per-partition leaf
+      // count sums; they sort before every real doc
+      while (buf.hasNext && buf.head.getInt(0) == qi &&
+        buf.head.getStruct(1).getLong(0) == -1L) {
+        val counts = buf.next().getStruct(1).getSeq[Long](3)
+        if (wordCounts(qi).isEmpty) wordCounts(qi) = new Array[Long](counts.length)
+        var i = 0
+        while (i < counts.length) { wordCounts(qi)(i) += counts(i); i += 1 }
+      }
       val iter: Iterator[(ResultAssembler.DocEval, Boolean)] = new Iterator[(ResultAssembler.DocEval, Boolean)] {
         def hasNext: Boolean = buf.hasNext && buf.head.getInt(0) == qi
         def next(): (ResultAssembler.DocEval, Boolean) = {
@@ -642,7 +672,10 @@ final class SparkSearcher(
 
     plans.indices.map { qi =>
       val (kept, nPages) = keptPer(qi)
-      val wi = plans(qi).leaves.map(l => WordInfo(l.word, 0L))
+      val sums = wordCounts(qi)
+      val wi = plans(qi).leaves.zipWithIndex.map { case (l, i) =>
+        WordInfo(l.word, if (i < sums.length) sums(i) else 0L)
+      }
       ResultAssembler.enrich(kept, nPages, textMap.get,
         c => presentDf.getOrElse(c, 0L), nDocs, avgdl, wi)
     }

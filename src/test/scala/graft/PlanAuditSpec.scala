@@ -58,6 +58,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "UDF found in the ANN hot path")
   }
 
+  test("dedup_embedding: LSH-bucket equi-join, never a cartesian product") {
+    val df = SparkEntry.queries("dedup_embedding")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"O(N^2) join shape in the near-dup path: ${p.take(800)}")
+    assert(p.contains("graft_cosine") || p.contains("cosinesimilarity"),
+      "native cosine expression missing from the candidate scorer")
+  }
+
   test("events_hourly: filter-free full agg still prunes to 3 columns") {
     val read = plan("events_hourly").linesIterator
       .find(_.contains("ReadSchema")).getOrElse("")

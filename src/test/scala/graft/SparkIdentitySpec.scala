@@ -106,6 +106,33 @@ class SparkIdentitySpec extends AnyFunSuite {
     }
   }
 
+  test("searchBatch: forced buffer compaction preserves results exactly") {
+    // drive the amortized docId-count compaction (normally only reachable
+    // past 2×(MaxFoundPages+1) hits per partition) on the small fixture;
+    // results must be identical to the uncompacted path
+    val reqs = goldenQueries.take(6)
+    val plain = searcher.searchBatch(reqs)
+    sys.props("graft.compact.trigger") = "2"
+    try {
+      val compacted = searcher.searchBatch(reqs)
+      plain.zip(compacted).foreach { case (a, b) =>
+        assert(a.docs.map(_.docId) == b.docs.map(_.docId))
+        assert(a.nFoundPages == b.nFoundPages)
+        assert(a.docs.map(_.rank) == b.docs.map(_.rank))
+      }
+    } finally sys.props.remove("graft.compact.trigger")
+  }
+
+  test("searchBatch withWordInfo: per-leaf counts equal sequential search") {
+    val reqs = goldenQueries.take(6)
+    val batch = searcher.searchBatch(reqs, withWordInfo = true)
+    reqs.zip(batch).foreach { case ((q, opt), b) =>
+      val a = searcher.search(q, opt, withWordInfo = true)
+      assert(a.words.map(w => (w.word, w.nFound)) ==
+        b.words.map(w => (w.word, w.nFound)), s"[$q] word info")
+    }
+  }
+
   test("BM25 top-k identical: batch and WAND paths") {
     val queries = Seq(
       Seq("old", "lady"),
