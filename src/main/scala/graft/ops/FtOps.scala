@@ -122,6 +122,33 @@ object FtOps {
            |WHERE regexp_matches(lower(text), '\bcustomer\b.{1,4}\bvector')
            |ORDER BY doc_id LIMIT 500""".stripMargin))
 
+  /** doc-level OR via the `(a|b)` union operator (PosSeq `+` merge). */
+  val searchOr = Op("ft_search_or",
+    (s, dir) => {
+      import s.implicits._
+      val sr = searcherFor(s, dir)
+      val out = sr.search("(customer|vector)", SearchOptions(dist = 100000), withWordInfo = false)
+      out.docs.map(_.docId).sorted.toDF("doc_id")
+    },
+    Some("""SELECT doc_id FROM documents
+           |WHERE regexp_matches(lower(text), '\bcustomer\b')
+           |   OR regexp_matches(lower(text), '\bvector\b')
+           |ORDER BY doc_id LIMIT 500""".stripMargin))
+
+  /** `-filter:` doc-name regex (Search.cs filters): matched docs must also
+    * have a name matching the regex; names here are `web:doc://%06d`. */
+  val searchFilter = Op("ft_search_filter",
+    (s, dir) => {
+      import s.implicits._
+      val sr = searcherFor(s, dir)
+      val out = sr.search("customer -filter:00004", SearchOptions(dist = 100000), withWordInfo = false)
+      out.docs.map(_.docId).sorted.toDF("doc_id")
+    },
+    Some("""SELECT doc_id FROM documents
+           |WHERE regexp_matches(lower(text), '\bcustomer\b')
+           |  AND regexp_matches(format('web:doc://{:06d}', doc_id), '00004')
+           |ORDER BY doc_id LIMIT 500""".stripMargin))
+
   /** engine suggestions (term dictionary prefix scan ordered by cf desc,
     * mirroring Search.cs:176-188): completions of "va" = suffixes of terms
     * starting with "va", most-frequent first. */
@@ -163,5 +190,5 @@ object FtOps {
             |ORDER BY term LIMIT 100""".stripMargin))
 
   val all: Seq[Op] = Seq(termStats, topTerms, bm25TopK, searchAnd, searchPhrase,
-    suggest, closeWords, wildcard)
+    searchOr, searchFilter, suggest, closeWords, wildcard)
 }
