@@ -280,59 +280,85 @@ final class SparkSearcher(
         val tfs = scoringB.value.map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
         (docId, coords, fieldHit, leafCounts, tfs)
       }.toArray
+      val out = mutable.ArrayBuffer.empty[EvalRow]
+      // Sentinel rows let ONE job answer everything the driver needs —
+      // they carry per-partition aggregates and sort before every real
+      // doc in the global docId order:
+      //   docId = -2 → per-leaf word-count sums over every evaluated doc;
+      //   docId = -1 → this partition's first ≤MaxFoundDocs field-hit
+      //                docIds (ascending), for the body ∩ field set.
+      // (Previously word counts and the field set each re-ran the whole
+      // evaluation as separate jobs.)
+      if (wantInfo && pre.nonEmpty) {
+        val sums = new Array[Long](q.leaves.length)
+        pre.foreach { p =>
+          var i = 0
+          while (i < p._4.length) { sums(i) += p._4(i); i += 1 }
+        }
+        if (sums.exists(_ != 0L))
+          out += EvalRow(-2L, Array.emptyLongArray, fieldHit = false, sums,
+            Array.empty[String], Array.emptyLongArray, "", Nil, Nil, 0L)
+      }
+      if (q.fields.nonEmpty && q.body.nonEmpty) {
+        val f = pre.iterator.filter(_._3).map(_._1).toArray
+        java.util.Arrays.sort(f)
+        if (f.nonEmpty)
+          out += EvalRow(-1L, Array.emptyLongArray, fieldHit = false,
+            f.take(Consts.MaxFoundDocs), Array.empty[String], Array.emptyLongArray,
+            "", Nil, Nil, 0L)
+      }
+      // Per-partition page-cap cut in local docId order: local cumulative
+      // ≤ global cumulative at every docId, so this is a superset of what
+      // the global docId-ordered scan can consume — the sort input (and
+      // the driver pull) is bounded by ~MaxFoundPages docs per partition
+      // regardless of how broad the query is.
+      val hitsArr = pre.filter(_._2.nonEmpty).sortBy(_._1)
       val wantMeta = mutable.HashSet.empty[Long]
-      pre.foreach(p => if (p._2.nonEmpty) wantMeta += p._1)
+      hitsArr.foreach(p => wantMeta += p._1)
       val metaMap = mutable.HashMap.empty[Long, DocMetaRow]
       metaRows.foreach { b =>
         IndexBuilder.decodeMetaBlockFor(b, wantMeta.contains)
           .foreach(md => metaMap(md.docId) = md)
       }
-      pre.iterator.map { case (docId, coords, fieldHit, leafCounts, tfs) =>
-        metaMap.get(docId) match {
-          case Some(md) =>
-            EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs,
-              md.name, md.pageIds, md.pageEnds, md.docLen)
-          case None =>
-            EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs,
-              "", Nil, Nil, 0L)
-        }
-      }
-    }
-
-    val hits = evals.filter(e => e.coords.nonEmpty || e.fieldHit)
-
-    // field-docs set: first 500 field-matching docs in docId order
-    val fieldDocIds: Option[Set[Long]] =
-      if (qp.fields.isEmpty || qp.body.isEmpty) None
-      else Some(hits.filter(_.fieldHit).orderBy($"docId")
-        .limit(Consts.MaxFoundDocs).select($"docId").as[Long].collect().toSet)
-
-    // Per-partition page-cap cut before the global sort: keep, in local
-    // docId order, only docs whose PRECEDING cumulative page count is
-    // within MaxFoundPages. Local cumulative ≤ global cumulative at every
-    // docId, so this is a superset of what the global docId-ordered scan
-    // can consume — the sort input (and the driver pull) is bounded by
-    // ~MaxFoundPages docs per partition regardless of how broad the query
-    // is, instead of every hit in the corpus.
-    val capped = hits.filter(_.coords.nonEmpty).mapPartitions { it =>
-      val arr = it.toArray.sortBy(_.docId)
-      val out = mutable.ArrayBuffer.empty[EvalRow]
       var cum = 0L
       var i = 0
-      while (i < arr.length && cum <= Consts.MaxFoundPages) {
-        val e = arr(i)
-        out += e
-        cum += Ranker.pagesOf(e.coords, e.pageIds.toArray, e.pageEnds.toArray).length
+      while (i < hitsArr.length && cum <= Consts.MaxFoundPages) {
+        val (docId, coords, fieldHit, leafCounts, tfs) = hitsArr(i)
+        metaMap.get(docId).foreach { md =>
+          out += EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs,
+            md.name, md.pageIds, md.pageEnds, md.docLen)
+          cum += Ranker.pagesOf(coords, md.pageIds.toArray, md.pageEnds.toArray).length
+        }
         i += 1
       }
       out.iterator
     }
 
-    val docsAsc = capped.orderBy($"docId").toLocalIterator()
-    val iter = new Iterator[ResultAssembler.DocEval] {
+    val docsAsc = evals.orderBy($"docId").toLocalIterator()
+    val buf: BufferedIterator[EvalRow] = new Iterator[EvalRow] {
       def hasNext: Boolean = docsAsc.hasNext
+      def next(): EvalRow = docsAsc.next()
+    }.buffered
+    // drain sentinels (they sort before all real docs)
+    var wordSums: Array[Long] = Array.emptyLongArray
+    val fieldIds = mutable.ArrayBuffer.empty[Long]
+    while (buf.hasNext && buf.head.docId < 0) {
+      val e = buf.next()
+      if (e.docId == -2L) {
+        if (wordSums.isEmpty) wordSums = new Array[Long](e.leafCounts.length)
+        var i = 0
+        while (i < e.leafCounts.length) { wordSums(i) += e.leafCounts(i); i += 1 }
+      } else fieldIds ++= e.leafCounts
+    }
+    // field-docs set: first 500 field-matching docs in global docId order
+    val fieldDocIds: Option[Set[Long]] =
+      if (qp.fields.isEmpty || qp.body.isEmpty) None
+      else Some(fieldIds.toArray.sorted.take(Consts.MaxFoundDocs).toSet)
+
+    val iter = new Iterator[ResultAssembler.DocEval] {
+      def hasNext: Boolean = buf.hasNext
       def next(): ResultAssembler.DocEval = {
-        val e = docsAsc.next()
+        val e = buf.next()
         val codeTfs = e.codes.zip(e.tfs).filter(_._2 > 0).toSeq
         ResultAssembler.DocEval(e.docId, e.name, e.coords,
           e.pageIds.toArray, e.pageEnds.toArray, e.docLen, codeTfs)
@@ -340,15 +366,10 @@ final class SparkSearcher(
     }
     val (kept, nFoundPages) = ResultAssembler.selectDocs(iter, qp.filters, fieldDocIds)
 
-    // word infos (per-leaf raw counts) — optional extra agg
     val wordInfos: Seq[WordInfo] =
       if (!withWordInfo) qp.leaves.map(l => WordInfo(l.word, 0L))
-      else {
-        val counts: Map[Int, Long] = evals
-          .select(posexplode($"leafCounts").as(Seq("pos", "cnt")))
-          .groupBy($"pos").agg(sum($"cnt").as("total"))
-          .as[(Int, Long)].collect().toMap
-        qp.leaves.map(l => WordInfo(l.word, counts.getOrElse(l.id, 0L)))
+      else qp.leaves.zipWithIndex.map { case (l, i) =>
+        WordInfo(l.word, if (i < wordSums.length) wordSums(i) else 0L)
       }
 
     // texts for the kept docs (pushed-down point lookups on the forward index)
