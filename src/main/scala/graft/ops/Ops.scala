@@ -40,18 +40,28 @@ object Ops {
 
   // ---------- text analysis ----------
 
+  /** GPT-2-style pretokenizer pattern (RE2-safe: no lookahead), shared
+    * verbatim by both engines: contraction tails, space+letter runs,
+    * space+digit runs, space+punct runs. */
+  private val BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
+  private val BPE_RE_SQL = BPE_RE.replace("'", "''")
+
   val tokenCount = Op("tok_count",
     (s, dir) => docs(s, dir).select(
       col("doc_id"),
       size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_ws"),
       size(expr(s"filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32)"))
-        .cast("long").as("n_tok"))
+        .cast("long").as("n_tok"),
+      // BPE-ish count: what a GPT-2-style pretokenizer would emit — the
+      // pattern literal bypasses Spark SQL string escaping via lit()
+      size(regexp_extract_all(col("text"), lit(BPE_RE), lit(0))).cast("long").as("n_tok_bpe"))
       .orderBy("doc_id"),
     Some(s"""WITH $toksSql,
             |tk AS (SELECT doc_id, count(*) AS n_tok FROM f GROUP BY doc_id)
             |SELECT d.doc_id,
             |       len(regexp_extract_all(d.text, '\\S+')) AS n_ws,
-            |       coalesce(tk.n_tok, 0) AS n_tok
+            |       coalesce(tk.n_tok, 0) AS n_tok,
+            |       len(regexp_extract_all(d.text, '$BPE_RE_SQL', 0)) AS n_tok_bpe
             |FROM documents d LEFT JOIN tk USING (doc_id) ORDER BY d.doc_id""".stripMargin))
 
   val qualityScore = Op("quality_score",
@@ -61,7 +71,9 @@ object Ops {
         count(lit(1)).as("n_tok"),
         round(avg(length(col("term"))), 4).as("avg_len"),
         round(sum(when(col("term").isin(stopSet: _*), 1).otherwise(0)).cast("double") / count(lit(1)), 4).as("stop_ratio"))
-      docs(s, dir).select(col("doc_id"), col("n_chars"))
+      docs(s, dir).select(col("doc_id"), col("n_chars"),
+          round(size(regexp_extract_all(col("text"), lit("[^\\sa-zA-Z0-9]"), lit(0)))
+            .cast("double") / col("n_chars"), 4).as("punct_ratio"))
         .join(stats, Seq("doc_id"), "left")
         .orderBy("doc_id")
     },
@@ -70,7 +82,9 @@ object Ops {
             |  SELECT doc_id, count(*) AS n_tok, round(avg(length(term)), 4) AS avg_len,
             |         round(sum(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS stop_ratio
             |  FROM f GROUP BY doc_id)
-            |SELECT d.doc_id, d.n_chars, st.n_tok, st.avg_len, st.stop_ratio
+            |SELECT d.doc_id, d.n_chars,
+            |       round(len(regexp_extract_all(d.text, '[^\\sa-zA-Z0-9]', 0))::DOUBLE / d.n_chars, 4) AS punct_ratio,
+            |       st.n_tok, st.avg_len, st.stop_ratio
             |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin))
 
   /** marker-word language heuristic (deterministic; verifies the operator,
@@ -112,13 +126,23 @@ object Ops {
             |  END AS pred
             |FROM sc ORDER BY doc_id""".stripMargin))
 
-  /** document fingerprint: md5 of whitespace-normalized lowercase text. */
+  /** document fingerprints: md5 of whitespace-normalized lowercase text,
+    * plus a polynomial ROLLING hash (base 31 mod 1e9+7 over the raw byte
+    * sequence) — the incremental-update form a streaming pipeline can
+    * maintain per chunk. Identical fold order on both engines. */
   val fingerprint = Op("fingerprint",
     (s, dir) => docs(s, dir).select(
       col("doc_id"),
-      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+      aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % 1000000007L).as("fp_roll"))
       .orderBy("doc_id"),
-    Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+    Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+           |  list_reduce(
+           |    list_prepend(0::BIGINT, list_transform(string_split(text, ''), x -> ord(x)::BIGINT)),
+           |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   // ---------- deduplication ----------
