@@ -171,8 +171,10 @@ object DbSource {
       sniff(blob) match {
         case SniffHtml => Some((url, blob, null.asInstanceOf[String], header))
         case SniffText =>
+          // charset-detected decode (BOM / strict-UTF-8 scan / cp1252
+          // fallback), the reference's Ude.CharsetDetector role
           Some((url, null.asInstanceOf[Array[Byte]],
-            if (blob == null) "" else new String(blob, java.nio.charset.StandardCharsets.UTF_8),
+            if (blob == null) "" else graft.text.CharsetSniff.decode(blob),
             header))
         case _ => None // %PDF: out of scope
       }
@@ -206,7 +208,7 @@ object DbSource {
             case SniffHtml => Some((url, bytes, null.asInstanceOf[String], header))
             case SniffText =>
               Some((url, null.asInstanceOf[Array[Byte]],
-                new String(bytes, java.nio.charset.StandardCharsets.UTF_8), header))
+                graft.text.CharsetSniff.decode(bytes), header))
             case _ => None
           }
         }

@@ -123,6 +123,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(sr.search("zorkmid", SearchOptions()).docs.isEmpty)
   }
 
+  test("charset sniff: BOMs, strict UTF-8, cp1252 fallback") {
+    import graft.text.CharsetSniff
+    // UTF-8 BOM stripped
+    val bom8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "héllo".getBytes("UTF-8")
+    assert(CharsetSniff.decode(bom8) == "héllo")
+    // UTF-16LE BOM
+    val b16 = "héllo".getBytes("UTF-16LE")
+    assert(CharsetSniff.decode(Array[Byte](0xFF.toByte, 0xFE.toByte) ++ b16) == "héllo")
+    // BOM-less valid UTF-8 (multibyte) detected as UTF-8
+    assert(CharsetSniff.decode("naïve café — привет".getBytes("UTF-8")) == "naïve café — привет")
+    // invalid-UTF8 single-byte text falls back to windows-1252
+    val cp = "café résumé".getBytes("windows-1252")
+    assert(!CharsetSniff.isValidUtf8(cp))
+    assert(CharsetSniff.decode(cp) == "café résumé")
+    // overlong / truncated sequences rejected
+    assert(!CharsetSniff.isValidUtf8(Array[Byte](0xC0.toByte, 0xAF.toByte)))
+    assert(!CharsetSniff.isValidUtf8(Array[Byte](0xE2.toByte, 0x82.toByte)))
+  }
+
+  test("DB blob mode decodes non-UTF8 text blobs via charset sniff (e2e)") {
+    val url = "jdbc:derby:memory:graftcpdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val create = conn.createStatement()
+      create.execute("CREATE TABLE cpdocs (name VARCHAR(64), payload BLOB)")
+      create.close()
+      val st = conn.prepareStatement("INSERT INTO cpdocs VALUES (?, ?)")
+      st.setString(1, "cp-001")
+      st.setBytes(2, "the café serves zorkberry cordials".getBytes("windows-1252"))
+      st.executeUpdate()
+      st.close()
+    } finally conn.close()
+    val pages = DbSource.blobPages(spark, url,
+      "SELECT name, payload FROM cpdocs",
+      nameCol = "NAME", blobCol = "PAYLOAD", sourceName = "db")
+    val row = pages.collect().head
+    assert(row.getAs[String]("text").contains("café"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-cpidx").toString
+    IndexBuilder.build(spark, pages, idx, IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "db"))
+    val sr = new SparkSearcher(spark, idx, Analyzer())
+    assert(sr.search("zorkberry", SearchOptions()).docs.map(_.name) == Seq("db:cp-001"))
+  }
+
   test("DB file mode: paths resolve against basePath with sniffing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dbfiles")
     java.nio.file.Files.writeString(dir.resolve("one.html"),
