@@ -646,34 +646,51 @@ object Ops {
            |JOIN customer ON o_custkey = c_custkey
            |ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin))
 
-  // ---------- multimodal plumbing (opaque binary + stubbed decode) ----------
+  // ---------- multimodal (opaque binary; REAL image decode + fallback) ----------
 
-  /** Treats a binary payload column as opaque media and runs a typed
-    * mapPartitions "decode" stage — the Spark-side plumbing (schema, batch
-    * iteration, partitioning) is real; the decoder itself is a
-    * deterministic STUB (no image/audio libs in this sandbox): it derives
-    * fake dimensions from the payload hash. Swap `stubDecode` for a real
-    * codec to get image/audio feature extraction at scale. */
+  /** Media dims: REAL decode through the JDK's ImageIO for actual image
+    * payloads (PNG/JPEG/GIF/BMP, magic-byte prescreened), deterministic
+    * hash-derived fallback dims for everything else — one pipeline over
+    * mixed corpora. The sf tables carry text bytes, so the driver oracle
+    * exercises the fallback branch; MediaSpec feeds real generated PNGs
+    * through the same functions and checks true dimensions and pixels. */
+  private[ops] def mediaDims(bytes: Array[Byte]): (Int, Int) =
+    graft.media.ImageCodec.decodeDims(bytes).getOrElse {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      (1 + ((h(0) & 0xFF) % 64), 1 + ((h(1) & 0xFF) % 64))
+    }
+
+  /** (doc_id, payload) → (doc_id, n_bytes, width, height, magic). */
+  def binaryMeta(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        val (w, h) = mediaDims(bytes)
+        val fp = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .take(4).map("%02x".format(_)).mkString
+        (id, bytes.length.toLong, w, h, fp)
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height", "magic")
+  }
+
+  /** (doc_id, payload) → dims + aspect-fit-into-32 dims. */
+  def resizeDims(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        val (w, h) = mediaDims(bytes)
+        val (nw, nh) = graft.media.ImageCodec.fitBox(w, h, 32)
+        (id, w, h, nw, nh)
+      }
+    }.toDF("doc_id", "width", "height", "new_w", "new_h")
+  }
+
   val mmBinaryMeta = Op("mm_binary_meta",
     (s, dir) => {
       import s.implicits._
-      val payloads = docs(s, dir)
+      binaryMeta(docs(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      val decoded = payloads.mapPartitions { batch =>
-        // === stubbed media decode (would be e.g. JPEG/PNG decode) ===
-        def stubDecode(bytes: Array[Byte]): (Int, Int) = {
-          val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-          (1 + ((h(0) & 0xFF) % 64), 1 + ((h(1) & 0xFF) % 64))
-        }
-        batch.map { case (id, bytes) =>
-          val (w, h) = stubDecode(bytes)
-          val fp = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-            .take(4).map("%02x".format(_)).mkString
-          (id, bytes.length.toLong, w, h, fp)
-        }
-      }
-      decoded.toDF("doc_id", "n_bytes", "width", "height", "magic")
+        .as[(Long, Array[Byte])])
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
@@ -683,32 +700,17 @@ object Ops {
            |  substr(md5(text), 1, 8) AS magic
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Multimodal "resize": the decode+transform plumbing for image-style
-    * payloads — typed mapPartitions batch iteration, target-box math on
-    * the (stubbed) decoded dimensions, new deterministic content id. The
-    * resize arithmetic (aspect-preserving fit into 32×32) is real; only
-    * the pixel decode behind it is the disclosed stub. */
+  /** Multimodal resize: aspect-preserving fit into 32×32 over the decoded
+    * dims (real ImageIO decode for image payloads, fallback otherwise);
+    * `ImageCodec.resizePng` does the actual pixel resize for pipelines
+    * that keep the content (MediaSpec covers it). */
   val mmResize = Op("mm_resize",
     (s, dir) => {
       import s.implicits._
-      val payloads = docs(s, dir)
+      resizeDims(docs(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      val out = payloads.mapPartitions { batch =>
-        def stubDecode(bytes: Array[Byte]): (Int, Int) = {
-          val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-          (1 + ((h(0) & 0xFF) % 64), 1 + ((h(1) & 0xFF) % 64))
-        }
-        batch.map { case (id, bytes) =>
-          val (w, h) = stubDecode(bytes)
-          // aspect-preserving fit into a 32x32 box (never upscale)
-          val scale = math.min(1.0, math.min(32.0 / w, 32.0 / h))
-          val (nw, nh) = (math.max(1, math.floor(w * scale).toInt),
-            math.max(1, math.floor(h * scale).toInt))
-          (id, w, h, nw, nh)
-        }
-      }
-      out.toDF("doc_id", "width", "height", "new_w", "new_h").orderBy("doc_id")
+        .as[(Long, Array[Byte])])
+        .orderBy("doc_id")
     },
     Some("""WITH dims AS (
            |  SELECT doc_id,

@@ -1,0 +1,60 @@
+package graft
+
+import graft.media.ImageCodec
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real image decode through the multimodal operators: generated PNGs run
+  * the SAME distributed functions as the mm_* ops and must yield true
+  * dimensions and pixels — the hash fallback only fires for non-image
+  * payloads.
+  */
+class MediaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("codec: decode dims, magic prescreen, aspect-fit, pixel resize") {
+    val bytes = png(64, 48, 0xCC2200)
+    assert(ImageCodec.isImage(bytes))
+    assert(ImageCodec.decodeDims(bytes).contains((64, 48)))
+    assert(!ImageCodec.isImage("plain text".getBytes("UTF-8")))
+    assert(ImageCodec.decodeDims("plain text".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.fitBox(64, 48, 32) == ((32, 24)))
+    assert(ImageCodec.fitBox(10, 8, 32) == ((10, 8))) // never upscale
+    // real pixel resize: solid color survives, dims are the fit box
+    val resized = ImageCodec.resizePng(bytes, 32).get
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 32 && back.getHeight == 24)
+    assert((back.getRGB(5, 5) & 0xFFFFFF) == 0xCC2200)
+  }
+
+  test("mm ops decode REAL images distributed; fallback only for non-images") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, png(64, 48, 0x00FF00)),
+      (2L, png(20, 100, 0x123456)),
+      (3L, "not an image at all".getBytes("UTF-8"))).toDS()
+    val meta = graft.ops.Ops.binaryMeta(payloads).orderBy("doc_id").collect()
+    assert(meta(0).getAs[Int]("width") == 64 && meta(0).getAs[Int]("height") == 48)
+    assert(meta(1).getAs[Int]("width") == 20 && meta(1).getAs[Int]("height") == 100)
+    // the non-image payload takes the deterministic fallback (1..64 range)
+    val fw = meta(2).getAs[Int]("width")
+    assert(fw >= 1 && fw <= 64)
+    val rs = graft.ops.Ops.resizeDims(payloads).orderBy("doc_id").collect()
+    assert(rs(0).getAs[Int]("new_w") == 32 && rs(0).getAs[Int]("new_h") == 24)
+    assert(rs(1).getAs[Int]("new_w") == 6 && rs(1).getAs[Int]("new_h") == 32)
+  }
+}
