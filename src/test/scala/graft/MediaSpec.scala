@@ -41,6 +41,41 @@ class MediaSpec extends AnyFunSuite {
     assert((back.getRGB(5, 5) & 0xFFFFFF) == 0xCC2200)
   }
 
+  test("audio codec: real WAV metadata + PCM samples (JDK javax.sound)") {
+    import graft.media.AudioCodec
+    // 0.5 s of a 440 Hz sine at 8 kHz mono 16-bit PCM, encoded as WAV
+    val rate = 8000f
+    val n = 4000
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toShort
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    assert(AudioCodec.isAudio(wav))
+    val meta = AudioCodec.decodeMeta(wav).get
+    assert(meta.sampleRate == 8000f && meta.channels == 1 && meta.frames == n)
+    assert(math.abs(meta.durationSec - 0.5) < 1e-6)
+    val samples = AudioCodec.decodeSamples(wav).get
+    assert(samples.length == n)
+    // the decoded waveform is the sine we wrote (sample 0 ≈ 0; peak ≈ 12000/32768)
+    assert(math.abs(samples(0)) < 0.01)
+    assert(math.abs(samples.max - 12000.0 / 32768.0) < 0.01)
+    // non-audio payloads are rejected by the prescreen
+    assert(!AudioCodec.isAudio("plain text payload".getBytes("UTF-8")))
+    assert(AudioCodec.decodeMeta(png(8, 8, 0)).isEmpty)
+  }
+
   test("mm ops decode REAL images distributed; fallback only for non-images") {
     import spark.implicits._
     val payloads = Seq(
