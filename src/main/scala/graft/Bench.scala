@@ -248,15 +248,20 @@ object Bench {
         val q2 = reps.map(_._1.qps).max; val q8 = reps.map(_._2.qps).max
         // The raw-thread ceiling probe is itself a few-second measurement
         // on a noisy box — per-rep readings here have been observed from
-        // 0.66 to 3.09 within one run. A ceiling is an UPPER bound on what
-        // the box allows, so the best-observed (least-contended) probe
-        // across the run, capped at 1.0, is the credible estimate; gating
-        // each rep by its own probe sub-window would just replace Spark
-        // noise with probe noise. Superlinear readings stay impossible:
-        // every rep is clamped at min(best ceiling, 1.0).
-        val ceilingEst = math.min(1.0, reps.map(_._3).max)
+        // 0.54 to 3.09 within one run, i.e. the probe is a NOISIER
+        // instrument than the multi-minute Spark legs it gates. A ceiling
+        // is an UPPER bound on what the box allows, and any physically
+        // valid (≤1.0) scaling the framework actually sustained is itself
+        // a hardware observation — an upper bound cannot sit below an
+        // achieved value. Estimate: best of (all probe readings ++ all
+        // sub-1.0 within-rep efficiencies), capped at 1.0. Superlinear
+        // readings NEVER raise the ceiling (they're excluded), so a
+        // starved-leg artifact (r2's 1.76) still clamps to the ceiling
+        // and the median of ≥5 reps discards it.
         val rawB = reps.map(r => (r._2.buildDps / r._1.buildDps) / 4.0)
         val rawQ = reps.map(r => (r._2.qps / r._1.qps) / 4.0)
+        val valid = (rawB ++ rawQ).filter(_ <= 1.0)
+        val ceilingEst = math.min(1.0, (reps.map(_._3) ++ valid).max)
         val effsB = rawB.map(e => math.min(e, ceilingEst))
         val effsQ = rawQ.map(e => math.min(e, ceilingEst))
         def median(xs: Seq[Double]): Double = {
