@@ -15,6 +15,7 @@ run / fork := true
 // parses the single {"metric":...} line Bench prints, and the [info] prefix
 // sbt's default logger adds made round 1's BENCH record unparseable.
 run / outputStrategy := Some(StdoutOutput)
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
