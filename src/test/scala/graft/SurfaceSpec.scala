@@ -97,6 +97,11 @@ class SurfaceSpec extends AnyFunSuite {
       assert(close.contains("lady"), close.take(200))
       val err = get("/search?nope=1")
       assert(err.contains("error"), err)
+      // malformed/missing input returns a JSON error instead of hanging
+      // the exchange (every handler wraps in the same try/catch)
+      assert(get("/close?nope=1").contains("error"))
+      assert(get("/bm25?nope=1").contains("error"))
+      assert(get("/suggest?req=" + java.net.URLEncoder.encode("?", "UTF-8")).startsWith("["))
     } finally server.stop(0)
   }
 
