@@ -167,6 +167,23 @@ object ResultAssembler {
     (keptFinal, nFoundPages)
   }
 
+  /** Length of the docId-sorted prefix a partition must contribute so the
+    * GLOBAL docId-ordered page-cap scan (selectDocs) can never miss a doc:
+    * keep doc i while the cumulative page count BEFORE it is ≤ cap. Local
+    * cumulative ≤ global cumulative at every docId, so the kept prefix is
+    * a superset of what the global scan can consume — the soundness
+    * invariant behind the per-partition cuts in SparkSearcher (pinned by a
+    * property test in CoreSpec). */
+  def pageCapPrefix[T](sortedAsc: scala.collection.IndexedSeq[T], pagesOf: T => Int, cap: Long): Int = {
+    var cum = 0L
+    var i = 0
+    while (i < sortedAsc.length && cum <= cap) {
+      cum += pagesOf(sortedAsc(i))
+      i += 1
+    }
+    i
+  }
+
   /** Single-pass convenience used by the in-memory engine. */
   def assemble(
       docsAsc: Iterator[DocEval],

@@ -320,14 +320,18 @@ final class SparkSearcher(
         IndexBuilder.decodeMetaBlockFor(b, wantMeta.contains)
           .foreach(md => metaMap(md.docId) = md)
       }
-      var cum = 0L
+      val keep = ResultAssembler.pageCapPrefix[(Long, Array[Long], Boolean, Array[Long], Array[Long])](
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(hitsArr),
+        p => metaMap.get(p._1)
+          .map(md => Ranker.pagesOf(p._2, md.pageIds.toArray, md.pageEnds.toArray).length)
+          .getOrElse(0),
+        Consts.MaxFoundPages)
       var i = 0
-      while (i < hitsArr.length && cum <= Consts.MaxFoundPages) {
+      while (i < keep) {
         val (docId, coords, fieldHit, leafCounts, tfs) = hitsArr(i)
         metaMap.get(docId).foreach { md =>
           out += EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs,
             md.name, md.pageIds, md.pageEnds, md.docLen)
-          cum += Ranker.pagesOf(coords, md.pageIds.toArray, md.pageEnds.toArray).length
         }
         i += 1
       }
@@ -527,14 +531,18 @@ final class SparkSearcher(
         if (wantInfo && wordSums(qi).exists(_ != 0L))
           out += ((qi, EvalRow(-1L, Array.emptyLongArray, fieldHit = false,
             wordSums(qi), Array.empty, Array.emptyLongArray, "", Nil, Nil, 0L)))
-        var cum = 0L
+        val keep = ResultAssembler.pageCapPrefix[(Long, Array[Long], Boolean, Array[Long], Array[Long])](
+          arr,
+          p => metaMap.get(p._1)
+            .map(md => Ranker.pagesOf(p._2, md.pageIds.toArray, md.pageEnds.toArray).length)
+            .getOrElse(0),
+          Consts.MaxFoundPages)
         var i = 0
-        while (i < arr.length && cum <= Consts.MaxFoundPages) {
+        while (i < keep) {
           val (docId, coords, fieldHit, leafCounts, tfs) = arr(i)
           metaMap.get(docId).foreach { md =>
             out += ((qi, EvalRow(docId, coords, fieldHit, leafCounts, sc(qi), tfs,
               md.name, md.pageIds, md.pageEnds, md.docLen)))
-            cum += Ranker.pagesOf(coords, md.pageIds.toArray, md.pageEnds.toArray).length
           }
           i += 1
         }
