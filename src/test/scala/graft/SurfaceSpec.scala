@@ -261,6 +261,26 @@ class SurfaceSpec extends AnyFunSuite {
       IndexBuilder.decodeDlStrip(strip.head).size == 10)
   }
 
+  test("meta block predicate decode: skipped payload offsets stay exact") {
+    import graft.spark.{IndexBuilder, TermDocRow}
+    // variable-length names/page-tables make every payload a different size
+    // — a one-byte offset error on any skipped doc corrupts every later doc
+    val rows = (0 until 7).map { d =>
+      val pageIds = (1 to 1 + d % 3).map(_.toString).toArray
+      val pageEnds = pageIds.indices.map(i => 100L * (i + 1) + d).toArray
+      TermDocRow(IndexBuilder.MetaTerm, 1, d.toLong, 0, 40L + d,
+        IndexBuilder.encodeMetaPayload("doc-name-" + "x" * d, pageIds, pageEnds))
+    }
+    val block = IndexBuilder.encodeBlocks(rows.iterator, Int.MaxValue)
+      .filter(_.term == IndexBuilder.MetaTerm).toSeq.head
+    val all = IndexBuilder.decodeMetaBlock(block).toSeq
+    assert(all.size == 7)
+    val want = Set(0L, 3L, 6L) // skips runs of 2 variable-size payloads
+    val some = IndexBuilder.decodeMetaBlockFor(block, want.contains).toSeq
+    assert(some == all.filter(m => want(m.docId)))
+    assert(IndexBuilder.decodeMetaBlockFor(block, _ => false).isEmpty)
+  }
+
   test("close words: levenshtein neighbors surface the typo target") {
     val mem = new MemIndex(Analyzer())
     mem.addDoc("Test:T", "", Seq(("1", pickwick)))
