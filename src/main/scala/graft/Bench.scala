@@ -295,7 +295,8 @@ object Bench {
 
     // sfDir relational/op sanity timings (one representative op set)
     val s2 = newSession(cpus)
-    val opTimes = Seq("q1_agg", "q3_join", "dedup_minhash_sig", "ann_cosine_topk").map { name =>
+    val opTimes = Seq("q1_agg", "q3_join", "dedup_minhash_sig", "ann_cosine_topk",
+      "ann_ivf_topk").map { name =>
       val t = System.nanoTime()
       try SparkEntry.queries(name)(s2, sfDir).count()
       catch { case _: Throwable => -1L }

@@ -15,8 +15,10 @@ final case class Op(
 
 /** Training-data-pipeline operators over the `documents` / `embeddings` /
   * `events` tables: text analysis, deduplication, similarity search,
-  * sessionization. All are pure DataFrame plans (codegen, pushdown) — no
-  * RDDs, no driver loops.
+  * sessionization. All are DataFrame/Dataset plans (codegen, pushdown;
+  * typed mapPartitions where a per-row kernel beats exploded rows) — no
+  * unbounded driver collects (the IVF quantizer pulls √N centroid rows,
+  * the one bounded exception).
   */
 object Ops {
 
@@ -27,10 +29,6 @@ object Ops {
   private val stopSet = Seq("the", "a", "of", "and", "to")
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-  private def toks(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      explode(expr(s"regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0)")).as("term"))
-      .filter(length(col("term")).between(3, 32))
 
   private val toksSql =
     s"""toks AS (
@@ -64,17 +62,28 @@ object Ops {
             |       len(regexp_extract_all(d.text, '$BPE_RE_SQL', 0)) AS n_tok_bpe
             |FROM documents d LEFT JOIN tk USING (doc_id) ORDER BY d.doc_id""".stripMargin))
 
+  /** token-array expression shared by the scalar-form text ops: same
+    * tokens as `toks` (regex + 3..32 length gate) but as a per-row array —
+    * higher-order functions instead of explode+groupBy+join turn these
+    * ops into ONE codegen'd projection with zero shuffles. */
+  private def tokArr = expr(
+    s"filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32)")
+
   val qualityScore = Op("quality_score",
     (s, dir) => {
-      val t = toks(s, dir)
-      val stats = t.groupBy("doc_id").agg(
-        count(lit(1)).as("n_tok"),
-        round(avg(length(col("term"))), 4).as("avg_len"),
-        round(sum(when(col("term").isin(stopSet: _*), 1).otherwise(0)).cast("double") / count(lit(1)), 4).as("stop_ratio"))
+      val nt = size(tokArr)
+      val stopList = stopSet.map(w => s"'$w'").mkString(", ")
+      // NULL stats for token-less docs, as the grouped form's LEFT JOIN gave
       docs(s, dir).select(col("doc_id"), col("n_chars"),
           round(size(regexp_extract_all(col("text"), lit("[^\\sa-zA-Z0-9]"), lit(0)))
-            .cast("double") / col("n_chars"), 4).as("punct_ratio"))
-        .join(stats, Seq("doc_id"), "left")
+            .cast("double") / col("n_chars"), 4).as("punct_ratio"),
+          when(nt > 0, nt.cast("long")).as("n_tok"),
+          when(nt > 0, round(
+            expr(s"aggregate(transform(filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32), t -> length(t)), 0L, (acc, x) -> acc + x)")
+              .cast("double") / nt, 4)).as("avg_len"),
+          when(nt > 0, round(
+            expr(s"size(filter(filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32), t -> t IN ($stopList)))")
+              .cast("double") / nt, 4)).as("stop_ratio"))
         .orderBy("doc_id")
     },
     Some(s"""WITH $toksSql,
@@ -91,16 +100,21 @@ object Ops {
     * not label accuracy — the synthetic corpus has no real language signal). */
   val langId = Op("lang_id",
     (s, dir) => {
-      val t = toks(s, dir)
       val markers = Map(
         "en" -> Seq("the", "and", "this", "that"),
         "de" -> Seq("der", "die", "das", "und"),
         "es" -> Seq("los", "las", "que", "con"),
         "fr" -> Seq("les", "des", "est", "avec"))
-      val aggCols = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-        sum(when(col("term").isin(ws: _*), 1).otherwise(0)).as(s"s_$lang")
+      // scalar form of the grouped marker sums: per-language count over the
+      // per-row token array — one projection, zero shuffles. The grouped
+      // form dropped token-less docs (no rows to group), so filter n>0.
+      val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+        val list = ws.map(w => s"'$w'").mkString(", ")
+        expr(s"size(filter(filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32), t -> t IN ($list)))")
+          .cast("long").as(s"s_$lang")
       }
-      val scored = t.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+      val scored = docs(s, dir).filter(size(tokArr) > 0)
+        .select((col("doc_id") +: scoreCols): _*)
       val langCols = markers.keys.toSeq.sorted
       val withPred = scored.withColumn("pred",
         langCols.foldLeft((lit(-1L), lit("und"))) { case ((bs, bl), l) =>
@@ -125,6 +139,57 @@ object Ops {
             |    WHEN s_de > -1 THEN 'de'
             |  END AS pred
             |FROM sc ORDER BY doc_id""".stripMargin))
+
+  /** character n-gram profiles per language (common high-frequency char
+    * n-grams, public knowledge; ASCII-only so char semantics agree across
+    * engines). Shared verbatim by the Spark plan and the oracle. */
+  private val ngramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " die ", " und ", " ein", "ich ", "sch", " zu "),
+    "en" -> Seq(" the ", " and ", " of ", " to ", "ing ", "tion", " in "),
+    "es" -> Seq(" que ", " los ", " las ", " con ", " por ", " una ", "cion"),
+    "fr" -> Seq(" les ", " des ", " est ", " une ", " dans ", " qui ", " pas "))
+
+  /** character-n-gram language ID: per-language score = total occurrence
+    * count of its profile n-grams (substring count via the length-delta
+    * trick — non-overlapping, identical in both engines). Pure scalar
+    * expressions per row: NO tokenize explode, NO groupBy — one codegen'd
+    * projection however wide the corpus. Like lang_id this verifies the
+    * operator, not label accuracy (synthetic corpus has no real language
+    * signal); the argmax tie order matches lang_id (de<en<es<fr). */
+  val langIdNgram = Op("lang_id_ngram",
+    (s, dir) => {
+      val lt = lower(col("text"))
+      def score(grams: Seq[String]) = grams.map { g =>
+        ((length(lt) - length(regexp_replace(lt, java.util.regex.Pattern.quote(g), ""))) / lit(g.length)).cast("long")
+      }.reduce(_ + _)
+      val scored = docs(s, dir).select(
+        (col("doc_id") +: ngramProfiles.map { case (l, gs) => score(gs).as(s"s_$l") }): _*)
+      val pred = ngramProfiles.map(_._1).foldLeft((lit(-1L), lit("und"))) {
+        case ((bs, bl), l) =>
+          val better = col(s"s_$l") > bs
+          (when(better, col(s"s_$l")).otherwise(bs), when(better, lit(l)).otherwise(bl))
+      }._2
+      scored.select(col("doc_id"), pred.as("pred")).orderBy("doc_id")
+    },
+    Some {
+      val scores = ngramProfiles.map { case (l, gs) =>
+        gs.map(g =>
+          s"(length(lt) - length(replace(lt, '${g.replace("'", "''")}', ''))) // ${g.length}")
+          .mkString("(", " + ", s") AS s_$l")
+      }.mkString(",\n    ")
+      s"""WITH lo AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |sc AS (SELECT doc_id,
+         |    $scores
+         |  FROM lo)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN s_fr > s_es AND s_fr > s_en AND s_fr > s_de THEN 'fr'
+         |    WHEN s_es > s_en AND s_es > s_de THEN 'es'
+         |    WHEN s_en > s_de THEN 'en'
+         |    WHEN s_de > -1 THEN 'de'
+         |  END AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    })
 
   /** document fingerprints: md5 of whitespace-normalized lowercase text,
     * plus a polynomial ROLLING hash (base 31 mod 1e9+7 over the raw byte
@@ -170,14 +235,54 @@ object Ops {
        |  FROM sh0 CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t)-1, 1))) AS i) g
        |)""".stripMargin
 
+  /** first 15 hex chars of md5 as an unsigned 60-bit value — identical to
+    * Spark `conv(substring(md5(s),1,15),16,10)::long` and DuckDB
+    * `('0x' || substr(md5(s),1,15))::BIGINT` (first 8 digest bytes as a
+    * big-endian u64, low nibble dropped). */
+  private[ops] def md5Prefix15(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
+  }
+
   /** MinHash signatures: 8 seeded md5-derived min-hashes over 3-gram word
-    * shingles (shingle→minhash; the LSH band join is dedup_minhash_pairs). */
+    * shingles (shingle→minhash; the LSH band join is dedup_minhash_pairs).
+    * Computed per-doc MAP-SIDE in one pass — the explode+distinct+groupBy
+    * formulation shuffles ~10× the corpus TWICE, and min over a doc's
+    * shingle multiset equals min over its distinct set, so neither shuffle
+    * buys anything. Values are bit-identical to the SQL formulation
+    * (md5Prefix15); docs with <3 tokens have no shingles and no row, as in
+    * the grouped form. */
   val minhashSig = Op("dedup_minhash_sig",
     (s, dir) => {
-      val sh = shingles(s, dir)
-      val aggs = (0 until 8).map(seed =>
-        min(conv(substring(md5(concat(lit(s"s$seed|"), col("sh"))), 1, 15), 16, 10).cast("long")).as(s"mh$seed"))
-      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val m = java.util.regex.Pattern.compile(TOKEN_RE).matcher("")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.reset(text.toLowerCase(java.util.Locale.ROOT))
+            while (m.find()) toks += m.group()
+            if (toks.length < 3) None
+            else {
+              val mins = Array.fill(8)(Long.MaxValue)
+              var i = 0
+              while (i + 2 < toks.length) {
+                val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+                var seed = 0
+                while (seed < 8) {
+                  val h = md5Prefix15(md, "s" + seed + "|" + sh)
+                  if (h < mins(seed)) mins(seed) = h
+                  seed += 1
+                }
+                i += 1
+              }
+              Some((id, mins(0), mins(1), mins(2), mins(3),
+                mins(4), mins(5), mins(6), mins(7)))
+            }
+          }
+        }.toDF("doc_id", "mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7")
+        .orderBy("doc_id")
     },
     Some {
       val cols = (0 until 8).map(seed =>
@@ -217,17 +322,43 @@ object Ops {
          |ORDER BY a, b""".stripMargin
     })
 
-  /** 32-bit SimHash over md5-derived token hashes. */
+  /** 32-bit SimHash over md5-derived token hashes. Computed per-doc
+    * MAP-SIDE (a doc's bit sums need only its own tokens — the exploded
+    * groupBy form shuffles every token of the corpus for nothing). Values
+    * bit-identical to the SQL formulation; docs with no 3..32-length
+    * tokens have no row, as in the grouped form. */
   val simhash = Op("dedup_simhash",
     (s, dir) => {
-      val t = toks(s, dir).withColumn("h",
-        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
-      val bitCols = (0 until 32).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-      val agg = t.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-      val sh = (0 until 32).map(i =>
-        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
-      agg.select(col("doc_id"), sh.as("simhash")).orderBy("doc_id")
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val m = java.util.regex.Pattern.compile(TOKEN_RE).matcher("")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            val bitSums = new Array[Int](32)
+            var any = false
+            m.reset(text.toLowerCase(java.util.Locale.ROOT))
+            while (m.find()) {
+              val t = m.group()
+              if (t.length >= 3 && t.length <= 32) {
+                any = true
+                val h = md5Prefix15(md, t)
+                var i = 0
+                while (i < 32) {
+                  bitSums(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+                  i += 1
+                }
+              }
+            }
+            if (!any) None
+            else {
+              var sh = 0L
+              var i = 0
+              while (i < 32) { if (bitSums(i) > 0) sh |= (1L << i); i += 1 }
+              Some((id, sh))
+            }
+          }
+        }.toDF("doc_id", "simhash").orderBy("doc_id")
     },
     Some {
       val bitSums = (0 until 32).map(i =>
@@ -505,6 +636,131 @@ object Ops {
     (s, dir) => annLshTopK(s, emb(s, dir), 5),
     Some(lshOracleSql(bits = 3, dim = 64)))
 
+  // ---- IVF ANN: the second scale path (inverted-file coarse quantizer) ----
+
+  /** nlist ≈ √N (the standard IVF sizing: √N lists of √N vectors balances
+    * quantizer-scan cost against list-scan cost). */
+  private[graft] def ivfNlist(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** probe a quarter of the lists (min 3) — recall/latency knob. */
+  private[graft] def ivfNprobe(nlist: Int): Int =
+    math.max(3, math.ceil(nlist / 4.0).toInt)
+
+  /** deterministic pseudo-random sample key, pure integer arithmetic so
+    * the DuckDB oracle derives the SAME centroid set from the data (the
+    * inner mod keeps the product within Int64 for any vec_id). */
+  private[graft] def ivfKey(id: Long): Long =
+    ((id % 1000003L) * 2654435761L) % 4294967296L
+
+  /** sequential-order cosine between a double centroid and a float vector —
+    * term-for-term the oracle's `list_dot_product(c,v) / (sqrt(..)*sqrt(..))`
+    * over `embedding::DOUBLE[]` operands, so assignment argmax agrees. */
+  private def cosD(c: Array[Double], v: Seq[Float]): Double = {
+    var dot = 0.0; var nc = 0.0; var nv = 0.0; var j = 0
+    while (j < c.length) {
+      val vj = v(j).toDouble
+      dot += c(j) * vj; nc += c(j) * c(j); nv += vj * vj; j += 1
+    }
+    dot / (math.sqrt(nc) * math.sqrt(nv))
+  }
+
+  /** IVF ANN: the coarse quantizer is nlist deterministic hash-sampled
+    * data points (k-means-init-style — training the quantizer on a sample
+    * is standard; the structure is what matters here). Every vector is
+    * assigned to its nearest centroid with a per-row loop over the
+    * broadcast centroid table (N·nlist dot products, NO N×nlist row
+    * blowup — at 10^12 vectors the quantizer is ~√N·dim doubles, the only
+    * thing that must fit in executor memory). Queries probe their nprobe
+    * nearest lists; exact cosine + top-k runs only over probed lists, so
+    * work per query is ~nprobe·√N instead of N. */
+  def annIvfTopK(s: SparkSession, e0: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val nlist = ivfNlist(n)
+    val nprobe = ivfNprobe(nlist)
+    val cents: Array[(Long, Array[Double])] = e.as[(Long, Seq[Float])].rdd
+      .map { case (id, v) => ((ivfKey(id), id), v.toArray.map(_.toDouble)) }
+      .takeOrdered(nlist)(Ordering.by(_._1))
+      .map { case ((_, id), cv) => (id, cv) }
+    val centB = s.sparkContext.broadcast(cents)
+    val asg = e.as[(Long, Seq[Float])].mapPartitions { it =>
+      val cs = centB.value
+      it.map { case (id, v) =>
+        var bestCid = Long.MaxValue; var bestCos = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          val c = cosD(cs(i)._2, v)
+          if (c > bestCos || (c == bestCos && cs(i)._1 < bestCid)) {
+            bestCos = c; bestCid = cs(i)._1
+          }
+          i += 1
+        }
+        (id, bestCid)
+      }
+    }.toDF("vec_id", "cid")
+    val probes = e.filter(col("vec_id") < 5).as[(Long, Seq[Float])]
+      .flatMap { case (qid, v) =>
+        centB.value
+          .map { case (cid, cv) => (cid, cosD(cv, v)) }
+          .sortBy { case (cid, c) => (-c, cid) }
+          .take(nprobe).map { case (cid, _) => (qid, cid) }
+      }.toDF("qid", "cid")
+    // assignment is unique per vec and probes are distinct cids per query,
+    // so the join yields unique (qid, vec_id) — no distinct needed
+    val cand = asg.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cos = cand
+      .join(broadcast(qv), Seq("qid"))
+      .join(e, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), cosCol(s))
+    rankTopK(cos, k)
+  }
+
+  /** DuckDB mirror of annIvfTopK for a FIXED (nlist, nprobe): unlike the
+    * LSH planes nothing is baked — the oracle re-derives the SAME sampled
+    * centroids from the data via the shared integer key. */
+  private[ops] def ivfOracleSql(nlist: Int, nprobe: Int): String = {
+    val cosExpr = "list_dot_product(c.cv, e.v) / " +
+      "(sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(e.v, e.v)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY (vec_id % 1000003) * 2654435761 % 4294967296, vec_id LIMIT $nlist),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY $cosExpr DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT e.vec_id AS qid, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY $cosExpr DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id FROM probes p JOIN asg a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.qid),
+       |cos AS (
+       |  SELECT cd.qid, cd.vec_id,
+       |         round(list_dot_product(eq.v, ev.v) /
+       |               (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ev.v, ev.v))), 5) AS cos
+       |  FROM cand cd JOIN e eq ON eq.vec_id = cd.qid JOIN e ev ON ev.vec_id = cd.vec_id),
+       |rk AS (SELECT qid, vec_id, cos,
+       |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cos)
+       |SELECT qid, rk, vec_id, cos FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
+
+  /** sf0.01 embeddings: N=500 → nlist=⌈√500⌉=23, nprobe=⌈23/4⌉=6. */
+  val annIvf = Op("ann_ivf_topk",
+    (s, dir) => annIvfTopK(s, emb(s, dir), 5),
+    Some(ivfOracleSql(nlist = 23, nprobe = 6)))
+
   /** Embedding-cosine near-duplicate pairs, the scale path: candidates =
     * vector pairs sharing an LSH bucket in ANY table (never the O(N²)
     * cross join), exact cosine only over candidates, threshold + top-50.
@@ -763,9 +1019,9 @@ object Ops {
            |FROM x WHERE off < n ORDER BY doc_id, frame""".stripMargin))
 
   val all: Seq[Op] = Seq(
-    tokenCount, qualityScore, langId, fingerprint,
+    tokenCount, qualityScore, langId, langIdNgram, fingerprint,
     dedupExact, minhashSig, minhashPairs, simhash, ngramJaccard, dedupClusters,
-    dedupEmbedding, annBrute, annLsh,
+    dedupEmbedding, annBrute, annLsh, annIvf,
     eventsHourly, sessionize,
     q1Agg, q3Join, topCustomers, mmBinaryMeta, mmResize, mmFrameSample)
 }

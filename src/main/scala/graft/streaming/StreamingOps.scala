@@ -23,6 +23,19 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the ingest-time counterpart of `dedup_exact`:
+    * drop re-ingested duplicate documents by content fingerprint.
+    * `dropDuplicatesWithinWatermark` bounds the state store: a fingerprint
+    * is retained only until the watermark passes its event time — the
+    * correct trade for an unbounded ingest (exact dedup over ALL history
+    * is the batch op's job; streaming dedup guards the ingest window with
+    * bounded state). */
+  def dedupByFingerprint(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(

@@ -68,6 +68,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "native cosine expression missing from the candidate scorer")
   }
 
+  test("ann_ivf: list-id equi-join with broadcast probes, never a cartesian") {
+    val df = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"O(N·Q) join shape in the IVF path: ${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes/query-vector sides should broadcast: ${p.take(800)}")
+    assert(p.contains("graft_cosine") || p.contains("cosinesimilarity"),
+      "native cosine expression missing from the candidate scorer")
+  }
+
   test("events_hourly: filter-free full agg still prunes to 3 columns") {
     val read = plan("events_hourly").linesIterator
       .find(_.contains("ReadSchema")).getOrElse("")

@@ -46,6 +46,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedup drops re-ingested duplicates, keeps state bounded") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = StreamingOps.dedupByFingerprint(df, watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      // in-batch duplicate + a distinct doc
+      mem.addData((ts(0), "alpha body"), (ts(1), "alpha body"), (ts(2), "beta body"))
+      q.processAllAvailable()
+      // cross-batch duplicate within the watermark horizon → dropped
+      mem.addData((ts(3), "alpha body"), (ts(4), "gamma body"))
+      q.processAllAvailable()
+      val texts = spark.table("deduped").collect()
+        .map(_.getAs[String]("text")).groupBy(identity).view.mapValues(_.length).toMap
+      assert(texts == Map("alpha body" -> 1, "beta body" -> 1, "gamma body" -> 1), texts.toString)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gap semantics") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

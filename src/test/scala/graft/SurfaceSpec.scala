@@ -197,6 +197,55 @@ class SurfaceSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("ANN IVF: probed lists recover most of the brute-force top-5") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = graft.ops.Ops.annBrute.query(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val ivf = graft.ops.Ops.annIvf.query(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val bs = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val is = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bs.map { case (q, top) =>
+      top.intersect(is.getOrElse(q, Set.empty)).size.toDouble / top.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"IVF mean recall@5 $mean ($recalls)")
+  }
+
+  test("ANN IVF at scale: clustered corpus, candidates ≤nprobe/nlist of N, recall@5 ≥ 0.8") {
+    import spark.implicits._
+    // same clustered fixture as the LSH scale test: 64 centers ± noise
+    val n = 10000
+    val dim = 16
+    val rows = (0 until n).map { i =>
+      val rnd = new scala.util.Random(1000 + i)
+      val c = i % 64
+      val crnd = new scala.util.Random(77 + c)
+      val center = Array.fill(dim)((crnd.nextDouble() * 2 - 1).toFloat)
+      val v = center.map(x => x + (rnd.nextDouble() * 0.12 - 0.06).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    e.cache()
+    // IVF work bound: a query scans ~nprobe/nlist of the corpus (expected)
+    val nlist = graft.ops.Ops.ivfNlist(n)
+    val nprobe = graft.ops.Ops.ivfNprobe(nlist)
+    assert(nprobe.toDouble / nlist <= 0.3,
+      s"probed fraction $nprobe/$nlist must stay well below a full scan")
+    val brute = graft.ops.Ops.annBruteTopK(e, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val ivf = graft.ops.Ops.annIvfTopK(spark, e, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val bs = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val is = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bs.map { case (q, top) =>
+      top.intersect(is.getOrElse(q, Set.empty)).size.toDouble / top.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"IVF clustered mean recall@5 $mean ($recalls)")
+    e.unpersist()
+  }
+
   test("LSH buckets stay exact past 31 planes (10^12-vector design point)") {
     // at the stated design scale bits/table exceeds an Int shift's range
     assert(graft.ops.Ops.lshBits(1000000000000L) > 31)
