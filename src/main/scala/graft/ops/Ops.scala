@@ -220,13 +220,20 @@ object Ops {
     Some("""SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
            |count(*) - count(DISTINCT md5(text)) AS n_dupes FROM documents""".stripMargin))
 
-  /** word 3-gram shingles, shared by minhash + jaccard (Spark side). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+  /** word 3-gram shingles (Spark side). `only` (when given) is
+    * broadcast-semi-joined BEFORE tokenize+explode, so just those docs pay
+    * the shingle explode + distinct — the exact-jaccard verifier needs
+    * shingles for candidate docs only, never the corpus. */
+  private def shingles(s: SparkSession, dir: String,
+                       only: Option[DataFrame] = None): DataFrame = {
+    val base = only.fold(docs(s, dir))(f =>
+      docs(s, dir).join(broadcast(f), Seq("doc_id"), "left_semi"))
+    base.select(col("doc_id"),
       expr(s"regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0)").as("t"))
       .select(col("doc_id"), explode(expr(
         "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t)-3), i -> concat_ws(' ', slice(t, i+1, 3))) ELSE array() END")).as("sh"))
       .distinct()
+  }
 
   private val shinglesSql =
     s"""sh0 AS (SELECT doc_id, regexp_extract_all(lower(text), '$TOKEN_RE') AS t FROM documents),
@@ -239,7 +246,7 @@ object Ops {
     * Spark `conv(substring(md5(s),1,15),16,10)::long` and DuckDB
     * `('0x' || substr(md5(s),1,15))::BIGINT` (first 8 digest bytes as a
     * big-endian u64, low nibble dropped). */
-  private[ops] def md5Prefix15(md: java.security.MessageDigest, s: String): Long = {
+  private[graft] def md5Prefix15(md: java.security.MessageDigest, s: String): Long = {
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 4
   }
@@ -395,9 +402,14 @@ object Ops {
     * in the pair's shingle lists. */
   val ngramJaccard = Op("dedup_jaccard_top",
     (s, dir) => {
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val cand = minhashPairs.query(s, dir).select(col("a"), col("b"))
+      // only candidate docs' shingles matter; the candidate set is the
+      // LSH dedup output (≪ corpus — buckets bound pair counts), so it
+      // broadcasts and the corpus never pays the shingle explode
+      val candDocs = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct()
+      val sh = shingles(s, dir, Some(candDocs))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
         .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
@@ -426,15 +438,19 @@ object Ops {
     * the LSH candidate pairs, representative = min doc_id per component.
     * Spark side: iterative min-label propagation (converges in
     * O(component diameter) rounds — dup clusters are shallow; each round
-    * is one shuffle join, no driver-side graph). Docs in no pair are their
-    * own cluster. */
+    * is one shuffle join, no driver-side graph). Only EDGE ENDPOINTS
+    * iterate (per-round frames are O(docs-with-a-dup-candidate), not
+    * O(corpus)); docs in no pair join back as their own singleton cluster
+    * once, at the end. */
   val dedupClusters = Op("dedup_clusters",
     (s, dir) => {
       val verts = docs(s, dir).select(col("doc_id"))
       val pairs = minhashPairs.query(s, dir).select(col("a"), col("b"))
       val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
       edges.cache()
-      var labels = verts.select(col("doc_id"), col("doc_id").as("cluster"))
+      // edges are symmetric, so src alone covers every endpoint
+      val endpoints = edges.select(col("src").as("doc_id")).distinct()
+      var labels = endpoints.select(col("doc_id"), col("doc_id").as("cluster"))
       var cachedPrev: DataFrame = null
       var changed = true
       var iter = 0
@@ -461,7 +477,10 @@ object Ops {
         throw new IllegalStateException(
           s"dedup_clusters: min-label propagation did not converge in $iter rounds " +
             "(duplicate-chain diameter exceeds the iteration cap)")
-      labels.select(col("doc_id"), col("cluster"),
+      verts.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .select(col("doc_id"), col("cluster"),
           (col("doc_id") === col("cluster")).as("is_rep"))
         .orderBy("doc_id")
     },

@@ -265,6 +265,32 @@ class SurfaceSpec extends AnyFunSuite {
     assert(b1 != b2)
   }
 
+  test("md5Prefix15 kernel equals the conv(substring(md5)) SQL formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val samples = (0 until 50).map(i => s"s$i|token $i payload ${"x" * (i % 7)}")
+    val sqlVals = samples.toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .as[Long].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val kernelVals = samples.map(graft.ops.Ops.md5Prefix15(md, _))
+    assert(kernelVals.toSeq == sqlVals.toSeq)
+  }
+
+  test("IVF sizing holds at the 10^12-vector design point") {
+    val n = 1000000000000L
+    val nlist = graft.ops.Ops.ivfNlist(n)
+    val nprobe = graft.ops.Ops.ivfNprobe(nlist)
+    assert(nlist == 1000000, s"sqrt(10^12) lists, got $nlist")
+    // quantizer must broadcast: nlist × 64 dims × 8 bytes = 512 MB
+    assert(nlist.toLong * 64 * 8 <= (1L << 30), "coarse quantizer exceeds 1 GB")
+    // probed fraction bounds per-query work at nprobe·(N/nlist) ≈ nprobe·√N
+    assert(nprobe.toDouble / nlist <= 0.3)
+    // sample key stays within Int64 for any vec_id (the inner mod)
+    assert(graft.ops.Ops.ivfKey(Long.MaxValue) >= 0L)
+    assert(graft.ops.Ops.ivfKey(n) >= 0L)
+  }
+
   test("native cosine expression equals the HOF formulation bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, sqrt}
