@@ -246,24 +246,36 @@ final class SparkSearcher(
     val wantInfo = withWordInfo
     val evals: Dataset[EvalRow] = blocks.mapPartitions { it =>
       val q = qpB.value
-      val rows = mutable.ArrayBuffer.empty[PostingBlockRow]
-      val metaRows = mutable.ArrayBuffer.empty[PostingBlockRow]
-      it.foreach { b =>
-        if (b.term == IndexBuilder.MetaTerm) metaRows += b else rows += b
-      }
-      val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
-      rows.foreach { b =>
-        IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
-          present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
-        }
-      }
-      val want: Long => Boolean =
-        if (wantInfo) _ => true
-        else d => present.get(d).exists(ts => q.canMatch(ts.contains))
       val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
-      rows.foreach { b =>
-        IndexBuilder.decodeBlockFor(b, want).foreach { case (d, _, coords) =>
-          byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+      val metaRows = mutable.ArrayBuffer.empty[PostingBlockRow]
+      // with word info every doc is evaluated anyway, so the presence
+      // prescreen selects nothing — blocks stream straight into the
+      // decode, no per-partition block buffer. Without word info the
+      // two-pass form (presence first, then positions for candidates
+      // only) needs the buffered rows.
+      val rows =
+        if (wantInfo) null else mutable.ArrayBuffer.empty[PostingBlockRow]
+      it.foreach { b =>
+        if (b.term == IndexBuilder.MetaTerm) metaRows += b
+        else if (wantInfo)
+          IndexBuilder.decodeBlockFor(b, _ => true).foreach { case (d, _, coords) =>
+            byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+          }
+        else rows += b
+      }
+      if (!wantInfo) {
+        val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
+        rows.foreach { b =>
+          IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
+            present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
+          }
+        }
+        val want: Long => Boolean =
+          d => present.get(d).exists(ts => q.canMatch(ts.contains))
+        rows.foreach { b =>
+          IndexBuilder.decodeBlockFor(b, want).foreach { case (d, _, coords) =>
+            byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+          }
         }
       }
       val pre = byDoc.iterator.map { case (docId, m) =>
@@ -430,33 +442,42 @@ final class SparkSearcher(
     val evals: Dataset[(Int, EvalRow)] = blocks.mapPartitions { it =>
       val ps = plansB.value
       val sc = scoringBatch.value
-      val rows = mutable.ArrayBuffer.empty[PostingBlockRow]
       val metaRows = mutable.ArrayBuffer.empty[PostingBlockRow]
-      it.foreach { b =>
-        if (b.term == IndexBuilder.MetaTerm) metaRows += b else rows += b
-      }
-      // presence pass: (docId, tf) only — position bytes untouched
-      val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
-      rows.foreach { b =>
-        IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
-          present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
-        }
-      }
-      // which queries can each doc possibly satisfy (presence algebra)?
+      val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
       val candQis = mutable.HashMap.empty[Long, Array[Int]]
       val allQis = ps.indices.toArray
-      present.foreach { case (d, ts) =>
-        if (wantInfo) candQis(d) = allQis // per-leaf counts need every doc
-        else {
+      // with word info every doc is evaluated for every query (per-leaf
+      // counts), so the presence prescreen selects nothing — stream blocks
+      // straight into the decode, no per-partition block buffer
+      val rows =
+        if (wantInfo) null else mutable.ArrayBuffer.empty[PostingBlockRow]
+      it.foreach { b =>
+        if (b.term == IndexBuilder.MetaTerm) metaRows += b
+        else if (wantInfo)
+          IndexBuilder.decodeBlockFor(b, _ => true).foreach { case (d, _, coords) =>
+            byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+          }
+        else rows += b
+      }
+      if (wantInfo) byDoc.keysIterator.foreach(d => candQis(d) = allQis)
+      else {
+        // presence pass: (docId, tf) only — position bytes untouched
+        val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
+        rows.foreach { b =>
+          IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
+            present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
+          }
+        }
+        // which queries can each doc possibly satisfy (presence algebra)?
+        present.foreach { case (d, ts) =>
           val qs = allQis.filter(qi => ps(qi).canMatch(ts.contains))
           if (qs.nonEmpty) candQis(d) = qs
         }
-      }
-      // position decode only for candidate docs
-      val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
-      rows.foreach { b =>
-        IndexBuilder.decodeBlockFor(b, candQis.contains).foreach { case (d, _, coords) =>
-          byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+        // position decode only for candidate docs
+        rows.foreach { b =>
+          IndexBuilder.decodeBlockFor(b, candQis.contains).foreach { case (d, _, coords) =>
+            byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
+          }
         }
       }
       // evaluate, grouped per query (rows without result coords never
