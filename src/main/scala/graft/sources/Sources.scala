@@ -97,6 +97,131 @@ object XmlManifestSource {
   }
 }
 
+/** Documents-folder source (≙ reference DocumentsDataSource,
+  * /root/reference/Docodo.NET/DataSources/DocumentDataSource.cs:20-160):
+  * recursively walks a root directory and dispatches per extension —
+  * `.txt` → charset-detected paged text, `.html`/`.htm` → the byte-exact
+  * HTML extraction pipeline, `.pdf` → per-PDF-page text via the pure-JDK
+  * extractor (pages joined with '\f'; build with
+  * `BuildConfig(formFeedPages = true)` so page numbers match PDF pages).
+  *
+  * Headers mirror the reference's `.dscr` companion-file scheme
+  * (DataSources.cs:380-438): base `Name=`/`Source=` lines (PDFs add
+  * `Title=`/`Author=` from the Info dictionary first,
+  * DocumentDataSource.cs:59-72), then `<file>.dscr`, then each ancestor
+  * directory's `.dscr` from the file upward — FIRST-seen key wins, and a
+  * malformed or duplicate line aborts the rest of that file (the
+  * reference's Dictionary.Add-throws behavior). Deviations, documented:
+  * the ancestor walk stops at the source root (not the filesystem root),
+  * and HTML names are root-relative like the other types (the reference
+  * passes the absolute path for HTML only).
+  *
+  * Driver lists paths only (tiny); content reads and extraction run
+  * distributed, one task per path slice — at corpus scale the file tree
+  * must live on shared storage, the same contract the reference's
+  * folder walk has.
+  */
+object DocumentsSource {
+
+  private val Exts = Set(".txt", ".pdf", ".html", ".htm")
+
+  def listRelative(rootDir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(rootDir).toAbsolutePath.normalize
+    val out = Seq.newBuilder[String]
+    val st = java.nio.file.Files.walk(root)
+    try {
+      st.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val n = p.getFileName.toString.toLowerCase(java.util.Locale.ROOT)
+          val dot = n.lastIndexOf('.')
+          if (dot >= 0 && Exts.contains(n.substring(dot)))
+            out += root.relativize(p).toString
+        }
+      }
+    } finally st.close()
+    out.result().sorted
+  }
+
+  /** reference dscr merge: first-seen wins; a line without '=' or with a
+    * duplicate key aborts the REST of that file (DataSources.cs:386-397). */
+  private[sources] def mergeDscrLines(dict: java.util.LinkedHashMap[String, String],
+                                      lines: Iterator[String]): Unit = {
+    val it = lines
+    var ok = true
+    while (ok && it.hasNext) {
+      val line = it.next()
+      if (!line.replaceAll("^ +", "").startsWith(";")) {
+        val eq = line.indexOf('=')
+        if (eq < 0) ok = false
+        else {
+          val k = line.substring(0, eq)
+          val v = line.substring(eq + 1).replaceAll("[\r\n]+$", "")
+          if (dict.containsKey(k)) ok = false
+          else dict.put(k, v)
+        }
+      }
+    }
+  }
+
+  private def addDscrFile(dict: java.util.LinkedHashMap[String, String],
+                          p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      try {
+        val raw = java.nio.file.Files.readAllBytes(p)
+        mergeDscrLines(dict, graft.text.CharsetSniff.decode(raw).linesIterator)
+      } catch { case _: java.io.IOException => }
+    }
+
+  private[sources] def dscrHeaders(rootDir: String, rel: String,
+                                   base: Seq[(String, String)]): String = {
+    val root = java.nio.file.Paths.get(rootDir).toAbsolutePath.normalize
+    val file = root.resolve(rel)
+    val dict = new java.util.LinkedHashMap[String, String]()
+    base.foreach { case (k, v) => if (!dict.containsKey(k)) dict.put(k, v) }
+    addDscrFile(dict, file.resolveSibling(file.getFileName.toString + ".dscr"))
+    var dir = file.getParent
+    while (dir != null && dir.startsWith(root)) {
+      addDscrFile(dict, dir.resolve(".dscr"))
+      dir = dir.getParent
+    }
+    val sb = new StringBuilder
+    dict.forEach((k, v) => { sb.append(k).append('=').append(v).append('\n'); () })
+    sb.toString
+  }
+
+  def pages(spark: SparkSession, rootDir: String,
+            sourceName: String = "doc"): DataFrame = {
+    import spark.implicits._
+    val rels = listRelative(rootDir)
+    val slices = math.max(1, math.min(rels.size, spark.sparkContext.defaultParallelism * 3))
+    spark.createDataset(rels).repartition(slices).flatMap { rel =>
+      val p = java.nio.file.Paths.get(rootDir).resolve(rel)
+      val lower = rel.toLowerCase(java.util.Locale.ROOT)
+      def bytesOf: Array[Byte] = java.nio.file.Files.readAllBytes(p)
+      if (lower.endsWith(".pdf")) {
+        graft.text.PdfExtract.tryExtract(bytesOf).filter(_.body.nonEmpty).map { doc =>
+          val base =
+            (if (doc.title.nonEmpty) Seq("Title" -> doc.title) else Nil) ++
+              Seq("Name" -> rel) ++
+              (if (doc.author.nonEmpty) Seq("Author" -> doc.author) else Nil) ++
+              Seq("Source" -> sourceName)
+          (rel, null.asInstanceOf[Array[Byte]], doc.body,
+            dscrHeaders(rootDir, rel, base))
+        }
+      } else if (lower.endsWith(".txt")) {
+        val body = graft.text.CharsetSniff.decode(bytesOf)
+        Some((rel, null.asInstanceOf[Array[Byte]], body,
+          dscrHeaders(rootDir, rel, Seq("Name" -> rel, "Source" -> sourceName))))
+      } else { // html: extraction + header synthesis happen in the builder
+        Some((rel, bytesOf, null.asInstanceOf[String], null.asInstanceOf[String]))
+      }
+    }.toDF("url", "html", "text", "header")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("lang", lit(null).cast("string"))
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"), col("header"))
+  }
+}
+
 /** Database source (≙ reference DBDataSourceBase Text mode,
   * /root/reference/Docodo.NET/DataSources/DBDataSource.cs): rows of a
   * select become documents; `nameCol` is the unique document name,
@@ -153,9 +278,10 @@ object DbSource {
 
   /** IndexType.Blob (DBDataSource.cs:51-103): documents stored in a blob
     * column, dispatched by content sniff — HTML blobs go through the
-    * extraction pipeline (`html` column), text blobs decode as UTF-8, PDF
-    * blobs are skipped (PDF extraction is declared out of scope, SURVEY
-    * §2.1 S4). Sniffing runs distributed, per JDBC partition. */
+    * extraction pipeline (`html` column), text blobs decode with charset
+    * detection, %PDF blobs extract per-page text ('\f'-joined pages; build
+    * with formFeedPages=true). Sniffing runs distributed, per JDBC
+    * partition. */
   def blobPages(spark: SparkSession, jdbcUrl: String, query: String,
                 nameCol: String, blobCol: String, headerCols: Seq[String] = Nil,
                 sourceName: String = "db",
@@ -176,7 +302,9 @@ object DbSource {
           Some((url, null.asInstanceOf[Array[Byte]],
             if (blob == null) "" else graft.text.CharsetSniff.decode(blob),
             header))
-        case _ => None // %PDF: out of scope
+        case _ => // %PDF → per-page extraction (unreadable pdfs skip)
+          graft.text.PdfExtract.tryExtract(blob).filter(_.body.nonEmpty)
+            .map(doc => (url, null.asInstanceOf[Array[Byte]], doc.body, header))
       }
     }.toDF("url", "html", "text", "header")
     shape(dispatched)
@@ -184,8 +312,9 @@ object DbSource {
 
   /** IndexType.File (DBDataSource.cs:110-136): the column holds a path
     * relative to `basePath`; file bytes are read distributed and
-    * dispatched with the same sniff (a `.pdf` extension short-circuits to
-    * the PDF skip like the reference's extension check). */
+    * dispatched with the same sniff (a `.pdf` extension short-circuits
+    * straight to the PDF extractor like the reference's extension
+    * check). */
   def filePages(spark: SparkSession, jdbcUrl: String, query: String,
                 nameCol: String, fileCol: String, basePath: String,
                 headerCols: Seq[String] = Nil, sourceName: String = "db",
@@ -198,18 +327,21 @@ object DbSource {
       headerExpr(nameCol, headerCols, sourceName).as("header"))
       .as[(String, String, String)]
     val dispatched = base.flatMap { case (url, file, header) =>
-      if (file == null || file.toLowerCase(java.util.Locale.ROOT).endsWith(".pdf")) None
+      if (file == null) None
       else {
         val p = java.nio.file.Paths.get(basePath, file)
         if (!java.nio.file.Files.exists(p)) None
         else {
           val bytes = java.nio.file.Files.readAllBytes(p)
-          sniff(bytes) match {
+          def asPdf = graft.text.PdfExtract.tryExtract(bytes).filter(_.body.nonEmpty)
+            .map(doc => (url, null.asInstanceOf[Array[Byte]], doc.body, header))
+          if (file.toLowerCase(java.util.Locale.ROOT).endsWith(".pdf")) asPdf
+          else sniff(bytes) match {
             case SniffHtml => Some((url, bytes, null.asInstanceOf[String], header))
             case SniffText =>
               Some((url, null.asInstanceOf[Array[Byte]],
                 graft.text.CharsetSniff.decode(bytes), header))
-            case _ => None
+            case _ => asPdf
           }
         }
       }

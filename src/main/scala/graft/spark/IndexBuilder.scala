@@ -41,7 +41,8 @@ object IndexBuilder {
       includeHeaders: Boolean = true,
       stemming: Boolean = true,
       pageSize: Int = 0,
-      vocabs: Seq[graft.text.Vocab] = Nil)
+      vocabs: Seq[graft.text.Vocab] = Nil,
+      formFeedPages: Boolean = false)
 
   final case class BuildStats(
       nDocs: Long,
@@ -53,10 +54,26 @@ object IndexBuilder {
     * DataSources.cs:99-108) or fixed-size chunks like the reference's text
     * files (PAGE_SIZE=3000, DataSources.cs:308) when pageSize > 0. */
   def pagesOf(body: String, pageSize: Int): Seq[(String, String)] =
-    if (pageSize <= 0 || body.length <= pageSize) Seq(("1", body))
+    pagesOf(body, pageSize, formFeed = false)
+
+  /** With `formFeed` on, a body containing '\f' is PRE-paginated (the PDF
+    * source's per-PDF-page contract, DocumentDataSource.cs:86-93): pages
+    * are the '\f'-separated segments numbered "1".."N" — empty segments
+    * keep their number so snippets address the right PDF page. Bodies
+    * without '\f' fall back to the pageSize rule, so mixed corpora
+    * (txt + pdf from one folder source) paginate each document correctly.
+    * Deterministic and build/query shared: the searcher re-derives page
+    * texts for snippets with the SAME call (config persisted in the
+    * index's buildcfg.properties). */
+  def pagesOf(body: String, pageSize: Int, formFeed: Boolean): Seq[(String, String)] = {
+    if (formFeed && body.indexOf('\f') >= 0) {
+      val parts = body.split("\f", -1)
+      (0 until parts.length).map(i => ((i + 1).toString, parts(i)))
+    } else if (pageSize <= 0 || body.length <= pageSize) Seq(("1", body))
     else (0 until (body.length + pageSize - 1) / pageSize).map { i =>
       ((i + 1).toString, body.substring(i * pageSize, math.min(body.length, (i + 1) * pageSize)))
     }
+  }
 
   def analyzerFor(cfg: BuildConfig): Analyzer =
     Analyzer(stopWords = cfg.stopWords, vocabs = cfg.vocabs, enableStemming = cfg.stemming)
@@ -236,11 +253,12 @@ object IndexBuilder {
       val bc = spark.sparkContext.broadcast(an)
       val bits = cfg.bucketBits
       val psz = cfg.pageSize
+      val ffp = cfg.formFeedPages
       val termDocs: Dataset[TermDocRow] = docText.mapPartitions { it =>
         val a = bc.value
         val cache = new DocTokenizer.CodeCache(a)
         it.flatMap { d =>
-          val di = DocTokenizer.indexGrouped(a, d.header, pagesOf(d.body, psz), cache)
+          val di = DocTokenizer.indexGrouped(a, d.header, pagesOf(d.body, psz, ffp), cache)
           // map-side combine: group this doc's postings per term
           val byTerm = new java.util.HashMap[String, graft.core.LongVec]()
           var i = 0
@@ -359,6 +377,7 @@ object IndexBuilder {
       oos.close()
       java.nio.file.Files.write(f, bos.toByteArray)
     }
+    writeBuildProps(indexDir, cfg)
 
     // a full (re)build starts a new lineage: clear any streaming
     // continuation marker so a later append derives its docId space and
@@ -650,6 +669,29 @@ object IndexBuilder {
       }
     }
     main ++ strips
+  }
+
+  /** Persist the pagination knobs query-side snippet assembly must share
+    * with the build (pagesOf is called on BOTH sides of the index). */
+  def writeBuildProps(indexDir: String, cfg: BuildConfig): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("pageSize", cfg.pageSize.toString)
+    p.setProperty("formFeedPages", cfg.formFeedPages.toString)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(indexDir, "buildcfg.properties"))
+    try p.store(out, "graft build pagination config") finally out.close()
+  }
+
+  /** (pageSize, formFeedPages) of an index; defaults for pre-props indexes. */
+  def readBuildProps(indexDir: String): (Int, Boolean) = {
+    val f = java.nio.file.Paths.get(indexDir, "buildcfg.properties")
+    if (!java.nio.file.Files.exists(f)) (0, false)
+    else {
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      (p.getProperty("pageSize", "0").toInt, p.getProperty("formFeedPages", "false").toBoolean)
+    }
   }
 
   private def dirBytes(path: String): Long = {

@@ -107,6 +107,15 @@ final class SparkSearcher(
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+  // Pagination knobs persisted by the build: snippet texts must re-derive
+  // page boundaries with the SAME pagesOf call the tokenizer used, or page
+  // ids ≥ "2" (pageSize chunking, '\f'-pre-paginated PDF pages) would find
+  // no text. Defaults (0, false) keep pre-props indexes on the single-page
+  // contract.
+  @transient private val (buildPageSize, buildFormFeed) = IndexBuilder.readBuildProps(indexDir)
+  private def bodyPagesOf(body: String): Seq[(String, String)] =
+    IndexBuilder.pagesOf(body, buildPageSize, buildFormFeed)
+
   @transient lazy val docMeta = readTable("docmeta", "docmeta").as[DocMetaRow]
   @transient private lazy val postings = readTable("postings", "postings").as[PostingBlockRow]
   @transient private lazy val docText = readTable("doctext", "doctext").as[DocTextRow]
@@ -393,7 +402,7 @@ final class SparkSearcher(
     val textMap: Map[Long, ResultAssembler.Texts] =
       if (keptIds.isEmpty) Map.empty
       else docText.filter($"docId".isin(keptIds.toSeq: _*))
-        .collect().map(d => d.docId -> ResultAssembler.Texts(d.header, Seq(("1", d.body)))).toMap
+        .collect().map(d => d.docId -> ResultAssembler.Texts(d.header, bodyPagesOf(d.body))).toMap
 
     val dfs = dfOf(scoringCodes.toSeq)
     ResultAssembler.enrich(kept, nFoundPages, textMap.get,
@@ -718,7 +727,7 @@ final class SparkSearcher(
     val textMap: Map[Long, ResultAssembler.Texts] =
       if (allKeptIds.isEmpty) Map.empty
       else docText.filter($"docId".isin(allKeptIds: _*))
-        .collect().map(d => d.docId -> ResultAssembler.Texts(d.header, Seq(("1", d.body)))).toMap
+        .collect().map(d => d.docId -> ResultAssembler.Texts(d.header, bodyPagesOf(d.body))).toMap
 
     plans.indices.map { qi =>
       val (kept, nPages) = keptPer(qi)

@@ -95,6 +95,7 @@ object StreamingIndexer {
     val src = cfg.sourceName
     val inc = cfg.includeHeaders
     val psz = cfg.pageSize
+    val ffp = cfg.formFeedPages
     val bits = cfg.bucketBits
 
     val batchTag = s"batch-$batchId"
@@ -118,7 +119,7 @@ object StreamingIndexer {
       val a = bc.value
       val cache = new DocTokenizer.CodeCache(a)
       it.flatMap { d =>
-        val di = DocTokenizer.indexGrouped(a, d.header, IndexBuilder.pagesOf(d.body, psz), cache)
+        val di = DocTokenizer.indexGrouped(a, d.header, IndexBuilder.pagesOf(d.body, psz, ffp), cache)
         val byTerm = new java.util.HashMap[String, graft.core.LongVec]()
         var i = 0
         while (i < di.terms.length) {

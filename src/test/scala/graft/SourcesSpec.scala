@@ -98,15 +98,16 @@ class SourcesSpec extends AnyFunSuite {
         "<html><head><title>Salted partitions</title></head><body>distributed indexing with salted partitions</body></html>"
           .getBytes("UTF-8"))
       put("t-002", "plain text about snapshot manifests".getBytes("UTF-8"))
-      put("p-003", "%PDF-1.4 zorkmid payload".getBytes("UTF-8"))
+      put("p-003", "%PDF-1.4 zorkmid payload".getBytes("UTF-8")) // malformed pdf
+      put("p-004", PdfFixtures.onePage("BT /F1 12 Tf (tabulated frobnosticate results) Tj ET"))
       st.close()
     } finally conn.close()
 
     val pages = DbSource.blobPages(spark, url,
       "SELECT name, payload FROM blobdocs",
       nameCol = "NAME", blobCol = "PAYLOAD", sourceName = "db")
-    // the PDF blob is skipped; html + text blobs survive
-    assert(pages.count() == 2)
+    // the malformed PDF blob is skipped; html + text + real pdf survive
+    assert(pages.count() == 3)
 
     val idx = java.nio.file.Files.createTempDirectory("graft-blobidx").toString
     IndexBuilder.build(spark, pages, idx, IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "db"))
@@ -119,8 +120,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(sr.search("head", SearchOptions()).docs.isEmpty)
     // the text blob indexed as UTF-8 text
     assert(sr.search("manifests", SearchOptions()).docs.map(_.name) == Seq("db:t-002"))
-    // the pdf blob is absent
+    // the malformed pdf blob is absent; the real one extracted + indexed
     assert(sr.search("zorkmid", SearchOptions()).docs.isEmpty)
+    assert(sr.search("frobnosticate", SearchOptions()).docs.map(_.name) == Seq("db:p-004"))
   }
 
   test("charset sniff: BOMs, strict UTF-8, cp1252 fallback") {
@@ -172,6 +174,8 @@ class SourcesSpec extends AnyFunSuite {
       "<html><body>ranking functions over inner products</body></html>")
     java.nio.file.Files.writeString(dir.resolve("two.txt"),
       "sessionization joins over event streams")
+    java.nio.file.Files.write(dir.resolve("three.pdf"),
+      PdfFixtures.onePage("BT /F1 12 Tf (quantized embeddings ledger) Tj ET"))
     val url = "jdbc:derby:memory:graftfiledb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     try {
@@ -179,7 +183,7 @@ class SourcesSpec extends AnyFunSuite {
       st.execute("CREATE TABLE filedocs (name VARCHAR(64), relpath VARCHAR(256))")
       st.execute("INSERT INTO filedocs VALUES ('f-001', 'one.html')")
       st.execute("INSERT INTO filedocs VALUES ('f-002', 'two.txt')")
-      st.execute("INSERT INTO filedocs VALUES ('f-003', 'skipme.pdf')")
+      st.execute("INSERT INTO filedocs VALUES ('f-003', 'three.pdf')")
       st.execute("INSERT INTO filedocs VALUES ('f-004', 'missing.txt')")
       st.close()
     } finally conn.close()
@@ -187,12 +191,69 @@ class SourcesSpec extends AnyFunSuite {
     val pages = DbSource.filePages(spark, url,
       "SELECT name, relpath FROM filedocs",
       nameCol = "NAME", fileCol = "RELPATH", basePath = dir.toString, sourceName = "db")
-    // .pdf extension and missing file are skipped
-    assert(pages.count() == 2)
+    // the missing file is skipped; the pdf extracts per-page text
+    assert(pages.count() == 3)
     val rows = pages.collect()
     val html = rows.find(_.getAs[String]("url") == "f-001").get
     assert(html.getAs[Array[Byte]]("html") != null)
     val txt = rows.find(_.getAs[String]("url") == "f-002").get
     assert(txt.getAs[String]("text").contains("sessionization"))
+    val pdf = rows.find(_.getAs[String]("url") == "f-003").get
+    assert(pdf.getAs[String]("text") == "quantized embeddings ledger")
+  }
+
+  test("documents folder source: txt/html/pdf dispatch, dscr headers, pdf pages") {
+    val root = java.nio.file.Files.createTempDirectory("graft-docsrc")
+    java.nio.file.Files.createDirectories(root.resolve("sub"))
+    java.nio.file.Files.writeString(root.resolve("a.txt"),
+      "plain narrative about glimmering estuaries")
+    java.nio.file.Files.writeString(root.resolve("b.html"),
+      "<html><head><title>Paged Title</title></head><body>hypertext about brackish lagoons</body></html>")
+    // three-page pdf: term on page 2 must address PDF page 2 in results
+    java.nio.file.Files.write(root.resolve("sub/c.pdf"), PdfFixtures.pdf(Seq(
+      1 -> PdfFixtures.bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> PdfFixtures.bytes("<< /Type /Pages /Kids [3 0 R 5 0 R 7 0 R] /Count 3 >>"),
+      3 -> PdfFixtures.bytes("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 9 0 R >> >> /Contents 4 0 R >>"),
+      4 -> PdfFixtures.stream("", PdfFixtures.bytes("BT /F1 12 Tf (opening remarks) Tj ET")),
+      5 -> PdfFixtures.bytes("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 9 0 R >> >> /Contents 6 0 R >>"),
+      6 -> PdfFixtures.stream("", PdfFixtures.bytes("BT /F1 12 Tf (the saltmarsh chronicle begins) Tj ET")),
+      7 -> PdfFixtures.bytes("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 9 0 R >> >> /Contents 8 0 R >>"),
+      8 -> PdfFixtures.stream("", PdfFixtures.bytes("BT /F1 12 Tf (closing matter) Tj ET")),
+      9 -> PdfFixtures.bytes("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      10 -> PdfFixtures.bytes("<< /Title (Marsh Study) /Author (Drax) >>")),
+      trailerExtra = "/Info 10 0 R"))
+    // dscr companions: per-file beats directory; directory applies to all
+    java.nio.file.Files.writeString(root.resolve("a.txt.dscr"), "genre=narrative\n")
+    java.nio.file.Files.writeString(root.resolve(".dscr"),
+      "; comment line\ncollection=tidewater\ngenre=ignored-first-seen-wins\n")
+
+    val pages = graft.sources.DocumentsSource.pages(spark, root.toString, sourceName = "doc")
+    assert(pages.count() == 3)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-docidx").toString
+    IndexBuilder.build(spark, pages, idx,
+      IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "doc", formFeedPages = true))
+    val sr = new SparkSearcher(spark, idx, Analyzer())
+
+    // txt doc: dscr headers merged, file dscr beats directory dscr
+    val t = sr.search("estuaries", SearchOptions())
+    assert(t.docs.map(_.name) == Seq("doc:a.txt"))
+    assert(t.docs.head.headers.get("genre").contains("narrative"))
+    assert(t.docs.head.headers.get("collection").contains("tidewater"))
+    // html doc went through extraction (markup unsearchable, title header)
+    val h = sr.search("brackish", SearchOptions())
+    assert(h.docs.map(_.name) == Seq("doc:b.html"))
+    assert(sr.search("head", SearchOptions()).docs.isEmpty)
+    // pdf: Info-dict headers, hit addresses PDF page 2, snippet from page 2
+    val p = sr.search("saltmarsh", SearchOptions())
+    assert(p.docs.map(_.name).head.endsWith("c.pdf"))
+    assert(p.docs.head.headers.get("Title").contains("Marsh Study"))
+    assert(p.docs.head.headers.get("Author").contains("Drax"))
+    assert(p.docs.head.pages.map(_.pageId) == Seq("2"))
+    assert(p.docs.head.pages.head.text.contains("saltmarsh"))
+    // dscr applies to pdfs in subdirs too (ancestor walk)
+    assert(p.docs.head.headers.get("collection").contains("tidewater"))
+    // field query over a dscr header
+    assert(sr.search("estuaries {collection=tidewater}", SearchOptions()).docs.nonEmpty)
   }
 }
