@@ -45,6 +45,7 @@ object Main {
           finally src.close()
           r = t
         case "--page-size" :: n :: t => cfg = cfg.copy(pageSize = n.toInt); r = t
+        case "--form-feed-pages" :: t => cfg = cfg.copy(formFeedPages = true); r = t
         case "--voc" :: f :: t =>
           val name = new java.io.File(f).getName.split("\\.")(0)
           val in = new java.io.FileInputStream(f)
@@ -57,6 +58,36 @@ object Main {
       }
       val stats = IndexBuilder.build(spark, spark.read.parquet(pages), indexDir, cfg)
       println(s"built: nDocs=${stats.nDocs} postings=${stats.totalPostings} avgdl=${stats.avgdl} resumed=${stats.resumedStages.mkString(",")}")
+      spark.stop()
+
+    case "crawl" :: url :: out :: rest =>
+      // crawl a site into a pages parquet (≙ reference WebDataSource); the
+      // result feeds `build` (use --form-feed-pages for crawled PDFs)
+      val spark = session()
+      var cfg = graft.sources.WebCrawler.Config()
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--max-items" :: n :: t => cfg = cfg.copy(maxItems = n.toInt); r = t
+        case "--max-depth" :: n :: t => cfg = cfg.copy(maxDepth = n.toInt); r = t
+        case "--types" :: re :: t => cfg = cfg.copy(indexTypes = re); r = t
+        case "--politeness-ms" :: n :: t => cfg = cfg.copy(politenessMs = n.toInt); r = t
+        case other :: t => System.err.println(s"unknown option $other"); r = t
+        case Nil => ()
+      }
+      val work = java.nio.file.Files.createTempDirectory("graft-crawl").toString
+      val df = graft.sources.WebCrawler.pages(spark, url, work, cfg)
+      df.write.mode("overwrite").parquet(out)
+      println(s"crawled: docs=${spark.read.parquet(out).count()} → $out")
+      spark.stop()
+
+    case "builddocs" :: folder :: indexDir :: rest =>
+      // index a documents folder (txt/html/pdf + .dscr headers) directly
+      val spark = session()
+      val pages = graft.sources.DocumentsSource.pages(spark, folder)
+      val cfg = IndexBuilder.BuildConfig(sourceName = "doc", formFeedPages = true,
+        pageSize = rest match { case "--page-size" :: n :: _ => n.toInt; case _ => 0 })
+      val stats = IndexBuilder.build(spark, pages, indexDir, cfg)
+      println(s"built: nDocs=${stats.nDocs} postings=${stats.totalPostings} avgdl=${stats.avgdl}")
       spark.stop()
 
     case "append" :: pages :: indexDir :: rest =>
@@ -136,7 +167,7 @@ object Main {
 
     case _ =>
       System.err.println(
-        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | buildvoc <lemmas.txt|dict.xml|folder> <out.voc> [--stemmer en|ru|de|fr] [--format lemmas|opencorpora|freelib] | console <indexDir> | serve <indexDir> [port]")
+        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | crawl <url> <pages.parquet> [--max-items N] [--max-depth N] [--types re] [--politeness-ms N] | builddocs <folder> <indexDir> [--page-size N] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | buildvoc <lemmas.txt|dict.xml|folder> <out.voc> [--stemmer en|ru|de|fr] [--format lemmas|opencorpora|freelib] | console <indexDir> | serve <indexDir> [port]")
       sys.exit(2)
   }
 
