@@ -39,6 +39,76 @@ object ImageCodec {
     (math.max(1, math.floor(w * scale).toInt), math.max(1, math.floor(h * scale).toInt))
   }
 
+  /** Frames of a multi-frame (animated) GIF, composited progressively:
+    * each frame draws at its descriptor offset over the running canvas —
+    * an over-composite approximation of GIF disposal modes, which is what
+    * frame SAMPLING needs (full frames, not deltas). Returns Nil for
+    * non-GIF payloads and for single-frame GIFs (those are plain images;
+    * the caller's still-image path handles them). */
+  def gifFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
+    if (bytes == null || bytes.length < 6 ||
+      bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') return Nil
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Nil
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, false)
+        val n = reader.getNumImages(true)
+        if (n <= 1) return Nil
+        var canvas: BufferedImage = null
+        (0 until n).map { i =>
+          val frame = reader.read(i)
+          val (x, y) = frameOffset(reader.getImageMetadata(i))
+          if (canvas == null)
+            canvas = new BufferedImage(
+              math.max(frame.getWidth + x, frame.getWidth),
+              math.max(frame.getHeight + y, frame.getHeight),
+              BufferedImage.TYPE_INT_RGB)
+          val g = canvas.createGraphics()
+          try g.drawImage(frame, x, y, null) finally g.dispose()
+          val copy = new BufferedImage(canvas.getWidth, canvas.getHeight,
+            BufferedImage.TYPE_INT_RGB)
+          val g2 = copy.createGraphics()
+          try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
+          copy
+        }
+      } finally reader.dispose()
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** (left, top) of a GIF frame from its image-descriptor metadata. */
+  private def frameOffset(md: javax.imageio.metadata.IIOMetadata): (Int, Int) =
+    try {
+      val root = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val desc = root.getElementsByTagName("ImageDescriptor")
+      if (desc.getLength == 0) (0, 0)
+      else {
+        val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+        (e.getAttribute("imageLeftPosition").toInt, e.getAttribute("imageTopPosition").toInt)
+      }
+    } catch { case _: Throwable => (0, 0) }
+
+  /** deterministic fingerprint of a frame's composited pixels. */
+  def framePixelFingerprint(img: BufferedImage): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        buf.clear(); buf.putInt(img.getRGB(x, y))
+        md.update(buf.array())
+        x += 1
+      }
+      y += 1
+    }
+    md.digest().take(4).map("%02x".format(_)).mkString
+  }
+
   /** real pixel resize (bilinear) of an image payload into the box,
     * re-encoded as PNG; None when the payload isn't a decodable image. */
   def resizePng(bytes: Array[Byte], box: Int): Option[Array[Byte]] =

@@ -997,10 +997,42 @@ object Ops {
            |  greatest(1, floor(height * least(1.0, least(32.0/width, 32.0/height))))::INT AS new_h
            |FROM dims ORDER BY doc_id""".stripMargin))
 
-  /** Multimodal "frame sampling": video-style payloads → k evenly spaced
-    * frame offsets with per-frame fingerprints — the batch shape and
-    * partitioning a real frame sampler needs (the frame decode itself is
-    * the stub: a frame is a byte slice). */
+  /** k evenly spaced frame samples of one payload: REAL composited frames
+    * for multi-frame (animated) GIFs — the one video-ish container the
+    * JDK decodes without codec jars — with `off` = the sampled frame
+    * index and the fingerprint over composited pixels; byte-slice
+    * fallback frames for everything else (the sf corpus is text, so the
+    * driver oracle exercises the fallback; MediaSpec feeds a real
+    * animated GIF through the same kernel). */
+  def frameSamples(bytes: Array[Byte], k: Int): Seq[(Long, Long, String)] = {
+    val gif = graft.media.ImageCodec.gifFrames(bytes)
+    if (gif.nonEmpty)
+      (0 until k).flatMap { f =>
+        val idx = (gif.length.toLong * f / k).toInt
+        if (idx >= gif.length) None
+        else Some((f.toLong, idx.toLong,
+          graft.media.ImageCodec.framePixelFingerprint(gif(idx))))
+      }
+    else {
+      val n = bytes.length
+      (0 until k).flatMap { f =>
+        val off = (n.toLong * f / k).toInt
+        if (off >= n) None
+        else {
+          val end = math.min(n, off + 16)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(bytes, off, end - off)
+          Some((f.toLong, off.toLong,
+            md.digest().take(4).map("%02x".format(_)).mkString))
+        }
+      }
+    }
+  }
+
+  /** Multimodal frame sampling: k evenly spaced frames with per-frame
+    * fingerprints — real frame decode where the JDK has a codec
+    * (animated GIF), deterministic byte-slice frames elsewhere, one
+    * pipeline over mixed corpora. */
   val mmFrameSample = Op("mm_frame_sample",
     (s, dir) => {
       import s.implicits._
@@ -1009,18 +1041,7 @@ object Ops {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
       val frames = payloads.flatMap { case (id, bytes) =>
-        val n = bytes.length
-        (0 until k).flatMap { f =>
-          val off = (n.toLong * f / k).toInt
-          if (off >= n) None
-          else {
-            val end = math.min(n, off + 16)
-            val md = java.security.MessageDigest.getInstance("MD5")
-            md.update(bytes, off, end - off)
-            Some((id, f.toLong, off.toLong,
-              md.digest().take(4).map("%02x".format(_)).mkString))
-          }
-        }
+        frameSamples(bytes, k).map { case (f, off, fp) => (id, f, off, fp) }
       }
       frames.toDF("doc_id", "frame", "off", "frame_fp").orderBy("doc_id", "frame")
     },

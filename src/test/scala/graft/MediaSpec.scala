@@ -92,4 +92,47 @@ class MediaSpec extends AnyFunSuite {
     assert(rs(0).getAs[Int]("new_w") == 32 && rs(0).getAs[Int]("new_h") == 24)
     assert(rs(1).getAs[Int]("new_w") == 6 && rs(1).getAs[Int]("new_h") == 32)
   }
+
+  /** animated GIF with one solid-color full frame per rgb value. */
+  private def animatedGif(w: Int, h: Int, rgbs: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    rgbs.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) } finally g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("gif frame decode: real composited frames; fallback for stills") {
+    val gif = animatedGif(16, 12, Seq(0xFF0000, 0x00FF00, 0x0000FF))
+    val frames = ImageCodec.gifFrames(gif)
+    assert(frames.size == 3)
+    assert(frames.forall(f => f.getWidth == 16 && f.getHeight == 12))
+    // GIF is palettized, so colors are quantized — frames must be solid
+    // and pairwise different, and fingerprints deterministic
+    val fps = frames.map(ImageCodec.framePixelFingerprint)
+    assert(fps.distinct.size == 3)
+    assert(fps == frames.map(ImageCodec.framePixelFingerprint))
+    // single-frame GIFs are stills: not the animation path
+    assert(ImageCodec.gifFrames(animatedGif(8, 8, Seq(0x123456))).isEmpty)
+    assert(ImageCodec.gifFrames(png(8, 8, 0)).isEmpty)
+
+    // the frame-sample kernel routes animated GIFs through real decode
+    val real = graft.ops.Ops.frameSamples(gif, 4)
+    assert(real.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(real.map(_._2) == Seq(0L, 0L, 1L, 2L)) // k=4 over 3 frames
+    assert(real.map(_._3).toSet == fps.toSet)
+    // non-gif payloads keep the deterministic byte-slice fallback
+    val fb = graft.ops.Ops.frameSamples("some plain narrative text payload".getBytes("UTF-8"), 4)
+    assert(fb.size == 4 && fb.map(_._2) == fb.map(_._2).sorted)
+  }
 }
