@@ -527,6 +527,7 @@ object PdfExtract {
         val p = if (i < parms.length) parms(i) else Map.empty[String, Obj]
         data = f match {
           case "FlateDecode" | "Fl" => applyPredictor(inflate(data), p)
+          case "LZWDecode" | "LZW" => applyPredictor(lzw(data), p)
           case "ASCIIHexDecode" | "AHx" => asciiHex(data)
           case "ASCII85Decode" | "A85" => ascii85(data)
           case "RunLengthDecode" | "RL" => runLength(data)
@@ -616,6 +617,55 @@ object PdfExtract {
         r += 1
       }
       out
+    }
+
+    /** PDF LZWDecode: TIFF-style LZW — variable 9..12-bit codes, MSB-first,
+      * clear code 256, EOD 257, code width grows one code EARLY (at table
+      * sizes 511/1023/2047, per the PDF spec's EarlyChange=1 default). */
+    private def lzw(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+      val dict = new java.util.ArrayList[Array[Byte]](4096)
+      def resetDict(): Unit = {
+        dict.clear()
+        var i = 0
+        while (i < 256) { dict.add(Array(i.toByte)); i += 1 }
+        dict.add(null); dict.add(null) // 256 clear, 257 EOD
+      }
+      resetDict()
+      var width = 9
+      var bitBuf = 0L
+      var bitCnt = 0
+      var prev: Array[Byte] = null
+      var i = 0
+      var done = false
+      while (!done && (i < data.length || bitCnt >= width)) {
+        while (bitCnt < width && i < data.length) {
+          bitBuf = (bitBuf << 8) | (data(i) & 0xFF)
+          bitCnt += 8
+          i += 1
+        }
+        if (bitCnt < width) done = true
+        else {
+          val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+          bitCnt -= width
+          if (code == 256) { resetDict(); width = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < dict.size() && dict.get(code) != null) dict.get(code)
+              else if (code == dict.size() && prev != null) prev :+ prev(0) // KwKwK
+              else { done = true; null }
+            if (entry != null) {
+              out.write(entry)
+              if (prev != null) dict.add(prev :+ entry(0))
+              prev = entry
+              // EarlyChange=1: widen one code before the table fills
+              if (dict.size() + 1 >= (1 << width) && width < 12) width += 1
+            }
+          }
+        }
+      }
+      out.toByteArray
     }
 
     private def asciiHex(data: Array[Byte]): Array[Byte] = {

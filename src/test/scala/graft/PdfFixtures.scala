@@ -59,6 +59,39 @@ object PdfFixtures {
   def asciiHex(data: Array[Byte]): Array[Byte] =
     bytes(data.map(b => f"${b & 0xFF}%02X").mkString + ">")
 
+  /** Valid (literal-only) TIFF/PDF LZW stream: emits clear, each byte as
+    * its literal code, then EOD — while mirroring the decoder's table
+    * growth and EarlyChange width bookkeeping, so code widths stay in
+    * lockstep past the 9→10→11-bit boundaries. */
+  def lzwLiteral(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    var dictSize = 258
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xFF).toInt)
+        bitCnt -= 8
+      }
+    }
+    emit(256) // clear
+    var first = true
+    data.foreach { b =>
+      emit(b & 0xFF)
+      if (!first) {
+        dictSize += 1
+        if (dictSize + 1 >= (1 << width) && width < 12) width += 1
+      }
+      first = false
+    }
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
   /** The standard 5-object skeleton around one content stream. */
   def onePage(content: String, fontDict: String = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
               contentObj: Array[Byte] = null): Array[Byte] = {
