@@ -90,6 +90,60 @@ object Main {
       println(s"built: nDocs=${stats.nDocs} postings=${stats.totalPostings} avgdl=${stats.avgdl}")
       spark.stop()
 
+    case "buildsrc" :: indexDir :: rest =>
+      // multi-source build (≙ reference -source:type,arg repeats,
+      // Program.cs:90-134): union every source's pages into ONE index.
+      //   --source doc,<folder> | web,<url>[,<typesRegex>] | xml,<manifest>
+      //            | parquet,<path> | db,<propsFile>
+      // db props file keys: url, query, nameCol, mode=text|blob|file,
+      // textCol|blobCol|fileCol, basePath (file mode), headerCols=a,b
+      val spark = session()
+      var cfg = IndexBuilder.BuildConfig(formFeedPages = true)
+      var srcs = List.empty[org.apache.spark.sql.DataFrame]
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--source" :: spec :: t =>
+          val parts = spec.split(",", 3)
+          srcs = (parts(0) match {
+            case "doc" => graft.sources.DocumentsSource.pages(spark, parts(1))
+            case "xml" => graft.sources.XmlManifestSource.pages(spark, parts(1))
+            case "parquet" => spark.read.parquet(parts(1))
+            case "web" =>
+              val c = graft.sources.WebCrawler.Config(
+                indexTypes = if (parts.length > 2) parts(2) else "")
+              graft.sources.WebCrawler.pages(spark, parts(1),
+                java.nio.file.Files.createTempDirectory("graft-crawl").toString, c)
+            case "db" =>
+              val p = new java.util.Properties()
+              val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(parts(1)))
+              try p.load(in) finally in.close()
+              def req(k: String) = Option(p.getProperty(k)).getOrElse(
+                throw new IllegalArgumentException(s"db props: missing $k"))
+              val hdrs = Option(p.getProperty("headerCols"))
+                .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+              p.getProperty("mode", "text") match {
+                case "blob" => graft.sources.DbSource.blobPages(spark, req("url"),
+                  req("query"), req("nameCol"), req("blobCol"), hdrs)
+                case "file" => graft.sources.DbSource.filePages(spark, req("url"),
+                  req("query"), req("nameCol"), req("fileCol"), req("basePath"), hdrs)
+                case _ => graft.sources.DbSource.pages(spark, req("url"),
+                  req("query"), req("nameCol"), req("textCol"), hdrs)
+              }
+            case other => throw new IllegalArgumentException(s"unknown source type $other")
+          }) :: srcs
+          r = t
+        case "--page-size" :: n :: t => cfg = cfg.copy(pageSize = n.toInt); r = t
+        case "--no-stemming" :: t => cfg = cfg.copy(stemming = false); r = t
+        case other :: t => System.err.println(s"unknown option $other"); r = t
+        case Nil => ()
+      }
+      require(srcs.nonEmpty, "at least one --source required")
+      // allowMissingColumns: plain parquet pages have no header column
+      val all = srcs.reverse.reduce(_.unionByName(_, allowMissingColumns = true))
+      val st = IndexBuilder.build(spark, all, indexDir, cfg)
+      println(s"built: nDocs=${st.nDocs} postings=${st.totalPostings} sources=${srcs.size}")
+      spark.stop()
+
     case "append" :: pages :: indexDir :: rest =>
       val spark = session()
       val batchId = IndexStore.readStageDetail(indexDir, "stream", "lastBatchId")
@@ -136,6 +190,15 @@ object Main {
         .collect().foreach(r => println(f"  ${r.getString(0)}%-24s cf=${r.getLong(2)} df=${r.getLong(1)}"))
       spark.stop()
 
+    case "compact" :: indexDir :: Nil =>
+      // Iceberg rewrite-data-files analog: consolidate batch deltas into
+      // one file set; old snapshots stay readable until vacuum
+      val spark = session()
+      val st = graft.spark.Compactor.compact(spark, indexDir)
+      println(s"compacted: v${st.version} docs=${st.nDocs} postings=${st.totalPostings} " +
+        s"files ${st.postingsFilesBefore}→${st.postingsFilesAfter}")
+      spark.stop()
+
     case "vacuum" :: indexDir :: rest =>
       // Iceberg-style expire-snapshots: keep the newest N versions
       val keep = rest match {
@@ -167,7 +230,7 @@ object Main {
 
     case _ =>
       System.err.println(
-        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | crawl <url> <pages.parquet> [--max-items N] [--max-depth N] [--types re] [--politeness-ms N] | builddocs <folder> <indexDir> [--page-size N] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | buildvoc <lemmas.txt|dict.xml|folder> <out.voc> [--stemmer en|ru|de|fr] [--format lemmas|opencorpora|freelib] | console <indexDir> | serve <indexDir> [port]")
+        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | buildsrc <indexDir> --source doc|web|xml|db|parquet,<arg>... | crawl <url> <pages.parquet> [--max-items N] [--max-depth N] [--types re] [--politeness-ms N] | builddocs <folder> <indexDir> [--page-size N] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | compact <indexDir> | buildvoc <lemmas.txt|dict.xml|folder> <out.voc> [--stemmer en|ru|de|fr] [--format lemmas|opencorpora|freelib] | console <indexDir> | serve <indexDir> [port]")
       sys.exit(2)
   }
 

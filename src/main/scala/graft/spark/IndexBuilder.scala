@@ -137,6 +137,22 @@ object IndexBuilder {
         else if (includeHeaders && ex.text.nonEmpty) ex.headers(url, srcName) else ""
       (url, (hdr, ex.text))
     }
+    // Doc-name prefix = the row's own Source= header when a source
+    // provided one (reference names are <source>.Name + sep + doc name, so
+    // a multi-source union keeps per-source prefixes); cfg.sourceName
+    // otherwise.
+    def srcPrefixOf(hdr: String): String = {
+      if (hdr == null || hdr.isEmpty) srcName
+      else {
+        val at = if (hdr.startsWith("Source=")) 0 else hdr.indexOf("\nSource=") + 1
+        if (at < 0 || (at == 0 && !hdr.startsWith("Source="))) srcName
+        else {
+          val start = at + "Source=".length
+          val end = hdr.indexOf('\n', start)
+          if (end < 0) hdr.substring(start) else hdr.substring(start, end)
+        }
+      }
+    }
     val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     // urls are tiny (~tens of bytes/row) but the scan inherits the
     // html-sized split config — coalesce to one partition per core so the
@@ -155,7 +171,7 @@ object IndexBuilder {
       pIt.zip(idIt).flatMap { case ((url, (hdr, body)), (idUrl, i)) =>
         require(url == idUrl, s"docId assignment out of sync: $url vs $idUrl")
         if (body.isEmpty) None
-        else Some(DocTextRow(baseDocId + i, srcName + Consts.DocSep + url, hdr, body))
+        else Some(DocTextRow(baseDocId + i, srcPrefixOf(hdr) + Consts.DocSep + url, hdr, body))
       }
     }.toDS()
   }

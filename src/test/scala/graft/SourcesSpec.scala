@@ -256,4 +256,33 @@ class SourcesSpec extends AnyFunSuite {
     // field query over a dscr header
     assert(sr.search("estuaries {collection=tidewater}", SearchOptions()).docs.nonEmpty)
   }
+
+  test("multi-source union build: one index over folder + manifest sources") {
+    // reference Program.cs:90-134 combines several -source specs into one
+    // index; here the same union via unionByName(allowMissingColumns)
+    val root = java.nio.file.Files.createTempDirectory("graft-multisrc")
+    java.nio.file.Files.writeString(root.resolve("d.txt"),
+      "granite breakwaters shelter the marina")
+    val xdir = java.nio.file.Files.createTempDirectory("graft-multixml")
+    java.nio.file.Files.writeString(xdir.resolve("m.txt"),
+      "archival ledgers of harbormasters")
+    val manifest = xdir.resolve("manifest.xml")
+    java.nio.file.Files.writeString(manifest,
+      """<documents><basepath>.</basepath>
+        |<document><file>m.txt</file><curator>ames</curator></document>
+        |</documents>""".stripMargin)
+
+    val union = graft.sources.DocumentsSource.pages(spark, root.toString, sourceName = "doc")
+      .unionByName(XmlManifestSource.pages(spark, manifest.toString), allowMissingColumns = true)
+    assert(union.count() == 2)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-multiidx").toString
+    IndexBuilder.build(spark, union, idx,
+      IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "multi", formFeedPages = true))
+    val sr = new SparkSearcher(spark, idx, Analyzer())
+    assert(sr.search("breakwaters", SearchOptions()).docs.map(_.name) == Seq("doc:d.txt"))
+    assert(sr.search("harbormasters", SearchOptions()).docs.map(_.name) == Seq("xml:m.txt"))
+    // each source's header semantics survive the union
+    assert(sr.search("harbormasters {curator=ames}", SearchOptions()).docs.nonEmpty)
+  }
 }
