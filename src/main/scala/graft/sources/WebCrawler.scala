@@ -34,12 +34,13 @@ import org.apache.spark.sql.functions._
 object WebCrawler {
 
   final case class Config(
-      maxItems: Int = 1000000,     // reference MaxItems, WebDataSource.cs:98
+      maxItems: Int = 1000000,      // reference MaxItems, WebDataSource.cs:98
       maxDepth: Int = 16,
-      indexTypes: String = "",     // admission regex, WebDataSource.cs:150
+      indexTypes: String = "",      // admission regex, WebDataSource.cs:150
       fetchTimeoutMs: Int = 10000,
-      politenessMs: Int = 0,       // reference sleeps 100 ms/link (cs:88)
-      userAgent: String = "DOCODO" // reference UA (cs:45,177)
+      politenessMs: Int = 0,        // reference sleeps 100 ms/link (cs:88)
+      userAgent: String = "DOCODO", // reference UA (cs:45,177)
+      respectRobots: Boolean = false // beyond the reference: robots.txt Disallow
   )
 
   /** One fetched document, dispatched by content type. */
@@ -55,7 +56,54 @@ object WebCrawler {
   private val MetaRefreshRe =
     """(?is)<meta\b[^>]*http-equiv\s*=\s*["']?refresh["']?[^>]*?content\s*=\s*["']?([^"'>]*)""".r
   private val RefreshUrlRe = """(?i)url=([\w\.\\_\+\?\&/:-]+)""".r
+  private val BaseHrefRe =
+    """(?is)<base\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""".r
   private val ImageExts = Set(".png", ".svg", ".jpg", ".bmp", ".gif")
+
+  /** `<base href>` of a page, if present — relative links resolve against
+    * it instead of the page url (HTML spec; common on real sites). */
+  def baseHref(html: String): Option[String] =
+    BaseHrefRe.findFirstMatchIn(html).map { m =>
+      Option(m.group(1)).orElse(Option(m.group(2))).orElse(Option(m.group(3))).getOrElse("")
+    }.filter(_.nonEmpty)
+
+  /** Disallowed path prefixes for `*` / our user agent from a robots.txt
+    * body (minimal common subset: User-agent groups + Disallow lines;
+    * Allow and wildcards are not interpreted — a disallowed prefix wins). */
+  def robotsDisallows(body: String, userAgent: String): Seq[String] = {
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    // group = consecutive User-agent lines + the Disallow lines that follow;
+    // a specific matching group OVERRIDES the `*` group (robots semantics)
+    final case class Group(agents: Seq[String], disallows: Seq[String])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = Seq.newBuilder[String]
+    var dis = Seq.newBuilder[String]
+    var inAgents = false
+    def close(): Unit = {
+      val a = agents.result()
+      if (a.nonEmpty) groups += Group(a, dis.result())
+      agents = Seq.newBuilder; dis = Seq.newBuilder
+    }
+    body.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val lower = line.toLowerCase(java.util.Locale.ROOT)
+      if (lower.startsWith("user-agent:")) {
+        if (!inAgents) close()
+        inAgents = true
+        agents += line.substring("user-agent:".length).trim.toLowerCase(java.util.Locale.ROOT)
+      } else {
+        inAgents = false
+        if (lower.startsWith("disallow:")) {
+          val path = line.substring("disallow:".length).trim
+          if (path.nonEmpty) dis += path
+        }
+      }
+    }
+    close()
+    val specific = groups.filter(_.agents.exists(a => a != "*" && ua.contains(a)))
+    val chosen = if (specific.nonEmpty) specific else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.disallows).toSeq
+  }
 
   /** Raw candidate link strings of an html page (hrefs + meta refresh). */
   def rawLinks(html: String): Seq[String] = {
@@ -70,7 +118,11 @@ object WebCrawler {
 
   /** TryAddUrl admission: normalized absolute url, or None. */
   def normalize(raw: String, pageUrl: String, baseHost: String,
-                indexTypes: String): Option[String] = {
+                indexTypes: String): Option[String] =
+    normalize(raw, pageUrl, baseHost, indexTypes, Nil)
+
+  def normalize(raw: String, pageUrl: String, baseHost: String,
+                indexTypes: String, disallows: Seq[String]): Option[String] = {
     val s0 = raw.trim.toLowerCase(java.util.Locale.ROOT)
     if (s0.isEmpty || s0.startsWith("#")) return None
     if (s0.startsWith("javascript:") || s0.startsWith("mailto:")) return None
@@ -92,6 +144,11 @@ object WebCrawler {
     if (dot > slash && ImageExts.contains(noQuery.substring(dot))) return None
     if (indexTypes.nonEmpty && !java.util.regex.Pattern.compile(indexTypes).matcher(abs).find())
       return None
+    if (disallows.nonEmpty) {
+      val path = try Option(new java.net.URI(abs).getPath).getOrElse("/")
+      catch { case _: Exception => "/" }
+      if (disallows.exists(path.startsWith)) return None
+    }
     Some(abs)
   }
 
@@ -100,7 +157,8 @@ object WebCrawler {
     * url.Substring(parent.Path.Length). */
   private def fetchPartition(urls: Iterator[String], base: String, baseHost: String,
                              indexTypes: String, timeoutMs: Int,
-                             politenessMs: Int, ua: String): Iterator[FetchRow] = {
+                             politenessMs: Int, ua: String,
+                             disallows: Seq[String]): Iterator[FetchRow] = {
     val client = java.net.http.HttpClient.newBuilder()
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
@@ -133,8 +191,15 @@ object WebCrawler {
               Some(FetchRow(url, null, graft.text.CharsetSniff.decode(body), null, Nil))
             case _ =>
               val htmlStr = graft.text.CharsetSniff.decode(body)
+              // <base href> (absolute or page-relative) redirects relative
+              // link resolution for the whole page
+              val resolveFrom = baseHref(htmlStr).flatMap { b =>
+                try Some(new java.net.URI(url)
+                  .resolve(new java.net.URI(b.trim.toLowerCase(java.util.Locale.ROOT))).toString)
+                catch { case _: Exception => None }
+              }.getOrElse(url)
               val links = rawLinks(htmlStr)
-                .flatMap(normalize(_, url, baseHost, indexTypes)).distinct
+                .flatMap(normalize(_, resolveFrom, baseHost, indexTypes, disallows)).distinct
               Some(FetchRow(url, body, null, null, links))
           }
         }
@@ -152,6 +217,22 @@ object WebCrawler {
     val it = cfg.indexTypes
     val (tmo, pol, ua) = (cfg.fetchTimeoutMs, cfg.politenessMs, cfg.userAgent)
 
+    // robots.txt (opt-in; beyond the reference): fetched once, driver-side
+    val disallows: Seq[String] =
+      if (!cfg.respectRobots) Nil
+      else try {
+        val client = java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofMillis(cfg.fetchTimeoutMs)).build()
+        val bu = new java.net.URI(baseNorm)
+        val robotsUrl = s"${bu.getScheme}://${bu.getAuthority}/robots.txt"
+        val res = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(robotsUrl))
+            .timeout(java.time.Duration.ofMillis(cfg.fetchTimeoutMs))
+            .header("User-Agent", cfg.userAgent).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (res.statusCode() == 200) robotsDisallows(res.body(), cfg.userAgent) else Nil
+      } catch { case _: Exception => Nil }
+
     var frontier: Dataset[String] = spark.createDataset(Seq(baseNorm))
     var scheduled = 1L
     val roundPaths = Seq.newBuilder[String]
@@ -161,7 +242,7 @@ object WebCrawler {
       val parts = math.max(1, math.min(
         frontier.count(), spark.sparkContext.defaultParallelism.toLong).toInt)
       val fetched = frontier.repartition(parts)
-        .mapPartitions(it0 => fetchPartition(it0, baseNorm, baseHost, it, tmo, pol, ua))
+        .mapPartitions(it0 => fetchPartition(it0, baseNorm, baseHost, it, tmo, pol, ua, disallows))
       val fetchedPath = s"$workDir/fetched-$depth"
       fetched.write.mode("overwrite").parquet(fetchedPath)
       roundPaths += fetchedPath

@@ -159,6 +159,54 @@ class WebCrawlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shallow.collect().map(_.getAs[String]("url")).toSet == Set(""))
   }
 
+  test("base href redirects relative resolution; robots disallows parse") {
+    assert(WebCrawler.baseHref(
+      """<html><head><base href="http://h.example/deep/"></head></html>""")
+      .contains("http://h.example/deep/"))
+    assert(WebCrawler.baseHref("<html><head></head></html>").isEmpty)
+    val robots =
+      """# comment
+        |User-agent: Googlebot
+        |Disallow: /only-google
+        |
+        |User-agent: *
+        |Disallow: /private/
+        |Disallow: /tmp # trailing comment
+        |Allow: /private/ok
+        |User-agent: other
+        |Disallow: /other-only
+        |""".stripMargin
+    assert(WebCrawler.robotsDisallows(robots, "DOCODO") == Seq("/private/", "/tmp"))
+    assert(WebCrawler.robotsDisallows(robots, "Googlebot") == Seq("/only-google"))
+    // admission applies the path-prefix filter
+    assert(WebCrawler.normalize("/private/x.html", "http://h.example/", "h.example",
+      "", Seq("/private/")).isEmpty)
+    assert(WebCrawler.normalize("/public/x.html", "http://h.example/", "h.example",
+      "", Seq("/private/")).isDefined)
+  }
+
+  test("crawl honors robots.txt when respectRobots is on") {
+    // /hidden/secret.html is linked from /sub2/ but disallowed at host root
+    page("/robots.txt", "text/plain",
+      "User-agent: *\nDisallow: /hidden/\n".getBytes("UTF-8"))
+    page("/hidden/secret.html", "text/html",
+      "<html><body>restricted bunker plans</body></html>".getBytes("UTF-8"))
+    page("/sub2/", "text/html",
+      """<html><body><a href="/hidden/secret.html">s</a>
+        |<a href="/b.html">b</a>restricted linker page</body></html>""".stripMargin.getBytes("UTF-8"))
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl5").toString
+    val pages = WebCrawler.pages(spark, base + "sub2/", work,
+      WebCrawler.Config(maxDepth = 3, respectRobots = true))
+    val urls = pages.collect().map(_.getAs[String]("url")).toSet
+    assert(urls.exists(_.endsWith("b.html")))
+    assert(!urls.exists(_.contains("hidden")))
+    // without the flag the disallowed page is crawled (reference behavior)
+    val work2 = java.nio.file.Files.createTempDirectory("graft-crawl6").toString
+    val pages2 = WebCrawler.pages(spark, base + "sub2/", work2,
+      WebCrawler.Config(maxDepth = 3))
+    assert(pages2.collect().map(_.getAs[String]("url")).exists(_.contains("hidden")))
+  }
+
   test("indexTypes regex restricts admissions like the reference") {
     val work = java.nio.file.Files.createTempDirectory("graft-crawl4").toString
     val pages = WebCrawler.pages(spark, base, work,
