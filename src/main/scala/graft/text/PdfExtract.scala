@@ -76,6 +76,11 @@ object PdfExtract {
   private final class Lexer(val in: Array[Byte], var pos: Int, end0: Int = -1,
                             resolveLength: Obj => Option[Long] = null) {
     val end: Int = if (end0 < 0) in.length else end0
+    // recursive-descent nesting guard: hostile "[[[[…" / "<<<<…" input
+    // would otherwise overflow the JVM stack (an Error, uncatchable by
+    // tryExtract) inside a crawler task
+    private var depth = 0
+    private val MaxDepth = 256
 
     def atEnd: Boolean = pos >= end
     private def cur: Int = if (pos < end) in(pos) & 0xFF else -1
@@ -112,6 +117,7 @@ object PdfExtract {
     def next(): Obj = {
       skipWs()
       if (atEnd) throw new PdfError("unexpected end of input")
+      if (depth > MaxDepth) throw new PdfError("object nesting too deep")
       cur match {
         case '<' =>
           if (pos + 1 < end && in(pos + 1) == '<') parseDict()
@@ -120,6 +126,7 @@ object PdfExtract {
         case '/' => parseName()
         case '[' =>
           pos += 1
+          depth += 1
           val items = Vector.newBuilder[Obj]
           skipWs()
           while (cur != ']') {
@@ -128,6 +135,7 @@ object PdfExtract {
             if (atEnd) throw new PdfError("unterminated array")
           }
           pos += 1
+          depth -= 1
           PArr(items.result())
         case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
           parseNumberOrRef()
@@ -248,6 +256,7 @@ object PdfExtract {
 
     private def parseDict(): Obj = {
       pos += 2 // '<<'
+      depth += 1
       val m = Map.newBuilder[String, Obj]
       skipWs()
       while (!(cur == '>' && pos + 1 < end && in(pos + 1) == '>')) {
@@ -259,6 +268,7 @@ object PdfExtract {
         if (atEnd) throw new PdfError("unterminated dict")
       }
       pos += 2
+      depth -= 1
       val dict = PDict(m.result())
       // stream payload follows?
       val save = pos
