@@ -42,6 +42,85 @@ object SparkSearcher {
   }
 }
 
+/** Bounded-memory buffer for the two-pass (presence → positions) eval
+  * paths: the no-word-info form must see a partition's filtered blocks
+  * twice, and a hot multi-term query over 512 MB–1 GB postings files could
+  * otherwise hold ~a file's worth of encoded blocks on heap per task
+  * (ADVICE r2 #5). Rows buffer on-heap up to `maxBytes` of payload, then
+  * spill to a task-local temp file; `foreach` replays memory + spill in
+  * insertion order any number of times. Test hook:
+  * `-Dgraft.evalspill.maxbytes=N` forces tiny thresholds. */
+final class BlockSpillBuffer(
+    maxBytes: Long = sys.props.get("graft.evalspill.maxbytes").map(_.toLong)
+      .getOrElse(64L << 20)) {
+  private val mem = scala.collection.mutable.ArrayBuffer.empty[PostingBlockRow]
+  private var memBytes = 0L
+  private var file: java.io.File = null
+  private var out: java.io.DataOutputStream = null
+  private var spilled = 0
+
+  private def payloadBytes(b: PostingBlockRow): Long =
+    b.docDeltas.length.toLong + b.tfs.length + b.dls.length + b.posDeltas.length + 64
+
+  def +=(b: PostingBlockRow): Unit = {
+    val n = payloadBytes(b)
+    if (memBytes + n <= maxBytes || mem.isEmpty) { mem += b; memBytes += n }
+    else {
+      if (out == null) {
+        file = java.io.File.createTempFile("graft-eval-spill", ".bin")
+        file.deleteOnExit()
+        out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(file), 1 << 16))
+      }
+      out.writeUTF(b.term)
+      out.writeInt(b.bucket)
+      out.writeLong(b.firstDocId)
+      out.writeInt(b.nDocs)
+      out.writeLong(b.nPostings)
+      def arr(a: Array[Byte]): Unit = { out.writeInt(a.length); out.write(a) }
+      arr(b.docDeltas); arr(b.tfs); arr(b.dls); arr(b.posDeltas)
+      out.writeDouble(b.maxTfNorm)
+      out.writeLong(b.maxTf)
+      out.writeLong(b.minDl)
+      spilled += 1
+    }
+  }
+
+  def foreach(f: PostingBlockRow => Unit): Unit = {
+    mem.foreach(f)
+    if (spilled > 0) {
+      out.flush()
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(file), 1 << 16))
+      try {
+        var i = 0
+        while (i < spilled) {
+          def arr(): Array[Byte] = {
+            val a = new Array[Byte](in.readInt()); in.readFully(a); a
+          }
+          val term = in.readUTF()
+          val bucket = in.readInt()
+          val firstDocId = in.readLong()
+          val nDocs = in.readInt()
+          val nPostings = in.readLong()
+          val (dd, tf, dl, pd) = (arr(), arr(), arr(), arr())
+          f(PostingBlockRow(term, bucket, firstDocId, nDocs, nPostings,
+            dd, tf, dl, pd, in.readDouble(), in.readLong(), in.readLong()))
+          i += 1
+        }
+      } finally in.close()
+    }
+  }
+
+  def spilledRows: Int = spilled
+
+  def close(): Unit = if (out != null) {
+    try out.close() catch { case _: java.io.IOException => }
+    file.delete()
+    out = null
+  }
+}
+
 final class SparkSearcher(
     spark: SparkSession,
     indexDir: String,
@@ -261,9 +340,8 @@ final class SparkSearcher(
       // prescreen selects nothing — blocks stream straight into the
       // decode, no per-partition block buffer. Without word info the
       // two-pass form (presence first, then positions for candidates
-      // only) needs the buffered rows.
-      val rows =
-        if (wantInfo) null else mutable.ArrayBuffer.empty[PostingBlockRow]
+      // only) re-reads the rows from a bounded-memory spill buffer.
+      val rows = if (wantInfo) null else new BlockSpillBuffer()
       it.foreach { b =>
         if (b.term == IndexBuilder.MetaTerm) metaRows += b
         else if (wantInfo)
@@ -286,6 +364,7 @@ final class SparkSearcher(
             byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
           }
         }
+        rows.close()
       }
       val pre = byDoc.iterator.map { case (docId, m) =>
         val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
@@ -457,9 +536,9 @@ final class SparkSearcher(
       val allQis = ps.indices.toArray
       // with word info every doc is evaluated for every query (per-leaf
       // counts), so the presence prescreen selects nothing — stream blocks
-      // straight into the decode, no per-partition block buffer
-      val rows =
-        if (wantInfo) null else mutable.ArrayBuffer.empty[PostingBlockRow]
+      // straight into the decode, no per-partition block buffer. Without
+      // word info the two-pass form re-reads from a bounded spill buffer.
+      val rows = if (wantInfo) null else new BlockSpillBuffer()
       it.foreach { b =>
         if (b.term == IndexBuilder.MetaTerm) metaRows += b
         else if (wantInfo)
@@ -488,6 +567,7 @@ final class SparkSearcher(
             byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
           }
         }
+        rows.close()
       }
       // evaluate, grouped per query (rows without result coords never
       // survive downstream; they are dropped at the source)

@@ -123,6 +123,50 @@ class SparkIdentitySpec extends AnyFunSuite {
     } finally sys.props.remove("graft.compact.trigger")
   }
 
+  test("forced eval spill: no-word-info results identical, rows round-trip") {
+    // round-trip unit check of the spill codec first
+    val buf = new graft.spark.BlockSpillBuffer(maxBytes = 1)
+    val rows = (0 until 40).map { i =>
+      graft.spark.PostingBlockRow(s"t$i", i % 4, i.toLong, 2, 3L,
+        Array.tabulate(8)(j => (i + j).toByte), Array[Byte](1, 2),
+        if (i % 2 == 0) Array[Byte](9) else Array.emptyByteArray,
+        Array.tabulate(5)(j => (i * j).toByte), 0.5 + i, i.toLong, i + 7L)
+    }
+    rows.foreach(buf += _)
+    assert(buf.spilledRows == 39) // only the first stays in memory at 1 byte
+    (0 until 2).foreach { _ => // replayable
+      val got = scala.collection.mutable.ArrayBuffer.empty[graft.spark.PostingBlockRow]
+      buf.foreach(got += _)
+      assert(got.size == rows.size)
+      rows.zip(got).foreach { case (a, b) =>
+        assert(a.term == b.term && a.bucket == b.bucket && a.firstDocId == b.firstDocId &&
+          a.nDocs == b.nDocs && a.nPostings == b.nPostings &&
+          a.docDeltas.sameElements(b.docDeltas) && a.tfs.sameElements(b.tfs) &&
+          a.dls.sameElements(b.dls) && a.posDeltas.sameElements(b.posDeltas) &&
+          a.maxTfNorm == b.maxTfNorm && a.maxTf == b.maxTf && a.minDl == b.minDl)
+      }
+    }
+    buf.close()
+
+    // every block spills in both eval paths; results must not change
+    val reqs = goldenQueries.take(6)
+    val plainBatch = searcher.searchBatch(reqs)
+    val plainSingle = reqs.map { case (q, o) => searcher.search(q, o, withWordInfo = false) }
+    sys.props("graft.evalspill.maxbytes") = "1"
+    try {
+      val spilledBatch = searcher.searchBatch(reqs)
+      val spilledSingle = reqs.map { case (q, o) => searcher.search(q, o, withWordInfo = false) }
+      plainBatch.zip(spilledBatch).foreach { case (a, b) =>
+        assert(a.docs.map(d => (d.docId, d.rank, d.bm25)) ==
+          b.docs.map(d => (d.docId, d.rank, d.bm25)))
+        assert(a.nFoundPages == b.nFoundPages)
+      }
+      plainSingle.zip(spilledSingle).foreach { case (a, b) =>
+        assert(a.docs.map(d => (d.docId, d.rank)) == b.docs.map(d => (d.docId, d.rank)))
+      }
+    } finally sys.props.remove("graft.evalspill.maxbytes")
+  }
+
   test("searchBatch withWordInfo: per-leaf counts equal sequential search") {
     val reqs = goldenQueries.take(6)
     val batch = searcher.searchBatch(reqs, withWordInfo = true)
