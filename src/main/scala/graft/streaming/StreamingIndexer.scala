@@ -228,16 +228,30 @@ object StreamingIndexer {
 
   /** Structured Streaming ingestion: pages stream → foreachBatch appends.
     * Watermark-free (append-only corpus); the checkpoint gives exactly-once
-    * with appendBatch's batchId dedup. */
+    * with appendBatch's batchId dedup.
+    *
+    * `compactEvery` > 0 runs a snapshot compaction after every N committed
+    * batches (Iceberg-maintenance-style), so continuous ingest keeps a
+    * BOUNDED postings file count instead of one file set per batch
+    * forever. Compaction is idempotent w.r.t. query results (Compactor's
+    * integrity gate) and re-points the streaming marker, so a crash
+    * between append and compact just defers compaction to the next
+    * trigger. */
   def ingest(pagesStream: DataFrame, indexDir: String,
              cfg: IndexBuilder.BuildConfig, checkpointDir: String,
-             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+             trigger: Trigger = Trigger.AvailableNow(),
+             compactEvery: Int = 0): StreamingQuery = {
     pagesStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val n = appendBatch(batch.sparkSession, batch.toDF(), indexDir, cfg, batchId)
         System.err.println(s"[graft-stream] batch $batchId appended $n docs")
+        if (compactEvery > 0 && n > 0 && (batchId + 1) % compactEvery == 0) {
+          val st = graft.spark.Compactor.compact(batch.sparkSession, indexDir)
+          System.err.println(s"[graft-stream] compacted v${st.version}: " +
+            s"postings files ${st.postingsFilesBefore}→${st.postingsFilesAfter}")
+        }
         ()
       }
       .start()

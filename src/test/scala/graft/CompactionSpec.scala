@@ -90,4 +90,48 @@ class CompactionSpec extends AnyFunSuite {
         s"post-vacuum '$q' changed")
     }
   }
+
+  test("streaming ingest with compactEvery keeps file counts bounded") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftautocompact").toString
+    val srcDir = s"$tmp/in"
+    val indexDir = s"$tmp/idx"
+    new java.io.File(srcDir).mkdirs()
+    val cfg = IndexBuilder.BuildConfig(bucketBits = 4)
+
+    def writeBatch(from: Int, until: Int, sub: String): Unit = {
+      val stage = s"$tmp/stage-$sub"
+      batch(from, until).write.parquet(stage)
+      new java.io.File(stage).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(srcDir, s"$sub-$i.parquet"))
+        }
+    }
+    val schema = graft.fixtures.PagesGen.pages(spark, 1, parts = 1).schema
+    def runOnce(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir)
+      val q = StreamingIndexer.ingest(stream, indexDir, cfg,
+        s"$tmp/$ckpt", trigger =
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(), compactEvery = 2)
+      q.awaitTermination()
+    }
+    writeBatch(0, 25, "b0")
+    writeBatch(25, 50, "b1")
+    writeBatch(50, 75, "b2")
+    writeBatch(75, 100, "b3")
+    runOnce("ckpt")
+
+    val snap = IndexStore.readSnapshot(indexDir).get
+    assert(snap.nDocs == 100)
+    // compaction ran: postings files listed in the manifest are bounded by
+    // one consolidated set (+ at most compactEvery-1 uncompacted batches)
+    val postingsDirs = snap.files("postings").map(_.split("/").init.mkString("/")).distinct
+    assert(postingsDirs.exists(_.contains("compact")), s"no compacted dir in $postingsDirs")
+    assert(postingsDirs.size <= 2, s"too many postings dirs: $postingsDirs")
+    // and every doc is searchable through the compacted union
+    val sr = SparkSearcher.open(spark, indexDir)
+    assert(sr.search("old", SearchOptions()).docs.nonEmpty)
+    assert(sr.nDocs == 100)
+  }
 }
