@@ -189,12 +189,44 @@ object DocumentsSource {
     sb.toString
   }
 
+  /** Stream the walk into a staged listing file instead of a driver-held
+    * Seq: `createDataset(paths)` embeds every path in the query plan, so a
+    * 10^8-file corpus would hold the whole listing in driver memory twice.
+    * The listing stages to `listDir` (must be cluster-visible storage when
+    * running multi-executor; defaults to the JVM temp dir, correct for
+    * local mode) and is read back as a distributed text scan. Returns
+    * (path, count). */
+  private def stageListing(rootDir: String, listDir: Option[String]): (String, Long) = {
+    val root = java.nio.file.Paths.get(rootDir).toAbsolutePath.normalize
+    val target = listDir.map(d => java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(d), "graft-doclist", ".txt"))
+      .getOrElse(java.nio.file.Files.createTempFile("graft-doclist", ".txt"))
+    val out = java.nio.file.Files.newBufferedWriter(target,
+      java.nio.charset.StandardCharsets.UTF_8)
+    var n = 0L
+    val st = java.nio.file.Files.walk(root)
+    try {
+      st.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val name = p.getFileName.toString.toLowerCase(java.util.Locale.ROOT)
+          val dot = name.lastIndexOf('.')
+          if (dot >= 0 && Exts.contains(name.substring(dot))) {
+            out.write(root.relativize(p).toString)
+            out.newLine()
+            n += 1
+          }
+        }
+      }
+    } finally { st.close(); out.close() }
+    (target.toString, n)
+  }
+
   def pages(spark: SparkSession, rootDir: String,
-            sourceName: String = "doc"): DataFrame = {
+            sourceName: String = "doc", listDir: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val rels = listRelative(rootDir)
-    val slices = math.max(1, math.min(rels.size, spark.sparkContext.defaultParallelism * 3))
-    spark.createDataset(rels).repartition(slices).flatMap { rel =>
+    val (listPath, n) = stageListing(rootDir, listDir)
+    val slices = math.max(1, math.min(n, spark.sparkContext.defaultParallelism.toLong * 3).toInt)
+    spark.read.textFile(listPath).repartition(slices).flatMap { rel =>
       val p = java.nio.file.Paths.get(rootDir).resolve(rel)
       val lower = rel.toLowerCase(java.util.Locale.ROOT)
       def bytesOf: Array[Byte] = java.nio.file.Files.readAllBytes(p)
