@@ -118,6 +118,7 @@ final class BlockSpillBuffer(
     try out.close() catch { case _: java.io.IOException => }
     file.delete()
     out = null
+    spilled = 0 // a post-close foreach degrades to the in-memory prefix
   }
 }
 
