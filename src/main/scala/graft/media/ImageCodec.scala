@@ -22,11 +22,30 @@ object ImageCodec {
         (b0 == 'B' && b1 == 'M')                    // BMP
     }
 
+  /** Pixel-count cap: header-claimed dimensions drive the decode
+    * allocation BEFORE any pixel data validates, so a 40-byte payload
+    * claiming 60000×60000 would OOM the task. ~67M px ≈ 256 MB ARGB. */
+  val MaxPixels: Long = 1L << 26
+
   def decode(bytes: Array[Byte]): Option[BufferedImage] =
     if (!isImage(bytes)) None
     else
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: Throwable => None }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            // dims come from the header — check them before decoding pixels
+            val (w, h) = (r.getWidth(0), r.getHeight(0))
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } catch { case _: Throwable => None }
 
   /** (width, height) of a decodable image payload. */
   def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
@@ -58,6 +77,8 @@ object ImageCodec {
         reader.setInput(iis, false, false)
         val n = reader.getNumImages(true)
         if (n <= 1) return Nil
+        // header-claimed dims gate the canvas allocation (see MaxPixels)
+        if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxPixels) return Nil
         var canvas: BufferedImage = null
         (0 until n).map { i =>
           val frame = reader.read(i)

@@ -42,6 +42,13 @@ object PdfExtract {
 
   final class PdfError(msg: String) extends RuntimeException(msg)
 
+  /** Decompression-bomb guard: a kilobyte of Flate/LZW input can expand
+    * to gigabytes and OOM a crawler task (an Error, not an Exception).
+    * Streams decoding past this many bytes abort with PdfError (the
+    * document skips). Test hook: -Dgraft.pdf.maxstream=N. */
+  private[text] def maxDecodedStream: Long =
+    sys.props.get("graft.pdf.maxstream").map(_.toLong).getOrElse(256L << 20)
+
   def isPdf(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= 4 &&
       bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
@@ -552,6 +559,7 @@ object PdfExtract {
       resolve(m.getOrElse(k, PNull)) match { case n: PNum => n.i; case _ => dflt }
 
     private def inflate(data: Array[Byte]): Array[Byte] = {
+      val cap = maxDecodedStream
       val inf = new Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
@@ -564,6 +572,7 @@ object PdfExtract {
             return out.toByteArray
           }
           out.write(buf, 0, n)
+          if (out.size() > cap) throw new PdfError("decoded stream exceeds size cap")
         }
         out.toByteArray
       } catch {
@@ -633,6 +642,7 @@ object PdfExtract {
       * clear code 256, EOD 257, code width grows one code EARLY (at table
       * sizes 511/1023/2047, per the PDF spec's EarlyChange=1 default). */
     private def lzw(data: Array[Byte]): Array[Byte] = {
+      val cap = maxDecodedStream
       val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
       val dict = new java.util.ArrayList[Array[Byte]](4096)
       def resetDict(): Unit = {
@@ -667,6 +677,7 @@ object PdfExtract {
               else { done = true; null }
             if (entry != null) {
               out.write(entry)
+              if (out.size() > cap) throw new PdfError("decoded stream exceeds size cap")
               if (prev != null) dict.add(prev :+ entry(0))
               prev = entry
               // EarlyChange=1: widen one code before the table fills
@@ -728,10 +739,11 @@ object PdfExtract {
     }
 
     private def runLength(data: Array[Byte]): Array[Byte] = {
+      val cap = maxDecodedStream
       val out = new java.io.ByteArrayOutputStream()
       var i = 0
       var done = false
-      while (i < data.length && !done) {
+      while (i < data.length && !done && out.size() <= cap) {
         val l = data(i) & 0xFF
         i += 1
         if (l == 128) done = true

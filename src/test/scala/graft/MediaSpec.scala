@@ -112,6 +112,28 @@ class MediaSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("decode rejects header-claimed giant dimensions (no OOM allocation)") {
+    // hand-built PNG header claiming 60000x60000 from a 50-byte payload
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes)
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    ihdr.write(be32(60000)); ihdr.write(be32(60000))
+    ihdr.write(Array[Byte](8, 2, 0, 0, 0))
+    val body = ihdr.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    out.write(be32(13)); out.write(body); out.write(be32(crc.getValue.toInt))
+    val giant = out.toByteArray
+    assert(ImageCodec.isImage(giant)) // passes the magic prescreen...
+    assert(ImageCodec.decode(giant).isEmpty) // ...but the dims gate refuses
+    // mm ops degrade to the deterministic fallback instead of OOMing
+    import spark.implicits._
+    val meta = graft.ops.Ops.binaryMeta(Seq((9L, giant)).toDS()).collect()
+    assert(meta.head.getAs[Int]("width") <= 64)
+  }
+
   test("gif frame decode: real composited frames; fallback for stills") {
     val gif = animatedGif(16, 12, Seq(0xFF0000, 0x00FF00, 0x0000FF))
     val frames = ImageCodec.gifFrames(gif)

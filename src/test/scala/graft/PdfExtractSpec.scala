@@ -220,6 +220,19 @@ class PdfExtractSpec extends AnyFunSuite {
     succeed
   }
 
+  test("decompression bomb aborts the document instead of OOMing the task") {
+    // 4 MB of zeros deflates to ~4 KB; with the cap forced to 64 KB the
+    // stream decode must abort and the document skip
+    val bomb = flate(new Array[Byte](4 << 20))
+    val b = onePage("", contentObj = stream("/Filter /FlateDecode", bomb))
+    sys.props("graft.pdf.maxstream") = (64 << 10).toString
+    try {
+      assert(PdfExtract.tryExtract(b).isEmpty)
+    } finally sys.props.remove("graft.pdf.maxstream")
+    // under the default cap the same pdf parses (its "text" is empty)
+    assert(PdfExtract.tryExtract(b).isDefined)
+  }
+
   test("page text never contains form-feed (reserved as the page separator)") {
     // simple fonts drop unmapped control codes entirely
     val doc = PdfExtract.extract(onePage("BT /F1 12 Tf (a\\fb) Tj ET"))
