@@ -40,7 +40,9 @@ object WebCrawler {
       fetchTimeoutMs: Int = 10000,
       politenessMs: Int = 0,        // reference sleeps 100 ms/link (cs:88)
       userAgent: String = "DOCODO", // reference UA (cs:45,177)
-      respectRobots: Boolean = false // beyond the reference: robots.txt Disallow
+      respectRobots: Boolean = false, // beyond the reference: robots.txt Disallow
+      maxFetchBytes: Int = 16 << 20 // response-size cap: a huge/hostile body
+                                    // must not buffer unbounded in the task
   )
 
   /** One fetched document, dispatched by content type. */
@@ -158,7 +160,7 @@ object WebCrawler {
   private def fetchPartition(urls: Iterator[String], base: String, baseHost: String,
                              indexTypes: String, timeoutMs: Int,
                              politenessMs: Int, ua: String,
-                             disallows: Seq[String]): Iterator[FetchRow] = {
+                             disallows: Seq[String], maxBytes: Int): Iterator[FetchRow] = {
     val client = java.net.http.HttpClient.newBuilder()
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
@@ -171,12 +173,26 @@ object WebCrawler {
           .header("User-Agent", ua)
           .header("Accept", "text/html, text/plain, application/pdf")
           .GET().build()
-        val res = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-        if (res.statusCode() != 200) None
+        val res = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+        if (res.statusCode() != 200) { res.body().close(); None }
         else {
           val ct = res.headers().firstValue("Content-Type").orElse("text/html")
             .split(";")(0).trim.toLowerCase(java.util.Locale.ROOT)
-          val body = res.body()
+          // bounded read: truncate at the cap (truncated html still
+          // indexes; a truncated pdf fails extraction and skips cleanly)
+          val body = {
+            val in = res.body()
+            try {
+              val out = new java.io.ByteArrayOutputStream(8192)
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n >= 0 && out.size() < maxBytes) {
+                out.write(buf, 0, math.min(n, maxBytes - out.size()))
+                n = in.read(buf)
+              }
+              out.toByteArray
+            } finally in.close()
+          }
           ct match {
             case "application/pdf" =>
               graft.text.PdfExtract.tryExtract(body).filter(_.body.nonEmpty).map { doc =>
@@ -241,8 +257,10 @@ object WebCrawler {
     while (!done && depth < cfg.maxDepth) {
       val parts = math.max(1, math.min(
         frontier.count(), spark.sparkContext.defaultParallelism.toLong).toInt)
+      val maxB = cfg.maxFetchBytes
       val fetched = frontier.repartition(parts)
-        .mapPartitions(it0 => fetchPartition(it0, baseNorm, baseHost, it, tmo, pol, ua, disallows))
+        .mapPartitions(it0 =>
+          fetchPartition(it0, baseNorm, baseHost, it, tmo, pol, ua, disallows, maxB))
       val fetchedPath = s"$workDir/fetched-$depth"
       fetched.write.mode("overwrite").parquet(fetchedPath)
       roundPaths += fetchedPath

@@ -207,6 +207,25 @@ class WebCrawlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pages2.collect().map(_.getAs[String]("url")).exists(_.contains("hidden")))
   }
 
+  test("oversized responses truncate at maxFetchBytes instead of buffering") {
+    val big = new Array[Byte](512 * 1024)
+    java.util.Arrays.fill(big, 'x'.toByte)
+    val html = ("<html><body>capped colossus page " +
+      new String(big, "UTF-8") + "</body></html>").getBytes("UTF-8")
+    page("/huge.html", "text/html", html)
+    page("/sub3/", "text/html",
+      "<html><body><a href=\"/huge.html\">h</a>tiny hub</body></html>".getBytes("UTF-8"))
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl7").toString
+    val pages = WebCrawler.pages(spark, base + "sub3/", work,
+      WebCrawler.Config(maxDepth = 2, maxFetchBytes = 64 * 1024))
+    val rows = pages.collect()
+    val huge = rows.find(_.getAs[String]("url").endsWith("huge.html")).get
+    val fetched = huge.getAs[Array[Byte]]("html")
+    assert(fetched.length == 64 * 1024, s"got ${fetched.length}")
+    // truncated html still extracts its (prefix) text
+    assert(new String(fetched, "UTF-8").contains("capped colossus"))
+  }
+
   test("indexTypes regex restricts admissions like the reference") {
     val work = java.nio.file.Files.createTempDirectory("graft-crawl4").toString
     val pages = WebCrawler.pages(spark, base, work,
