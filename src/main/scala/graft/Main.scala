@@ -199,6 +199,20 @@ object Main {
         s"files ${st.postingsFilesBefore}→${st.postingsFilesAfter}")
       spark.stop()
 
+    case "info" :: indexDir :: Nil =>
+      // index info (≙ reference console 'O', Program.cs:308-316)
+      val snap = IndexStore.readSnapshot(indexDir).getOrElse {
+        System.err.println(s"no committed snapshot at $indexDir"); sys.exit(1)
+      }
+      val versions = IndexStore.listVersions(indexDir)
+      val spark = session()
+      val words = searcher(spark, indexDir).termStats.count()
+      println(s"version: v${snap.version} (available: ${versions.mkString(", ")})")
+      println(s"docs: ${snap.nDocs}  avgdl: ${snap.avgdl}  postings: ${snap.totalPostings}")
+      println(s"words: $words")
+      println(s"files: " + snap.files.map { case (t, fs) => s"$t=${fs.size}" }.mkString(" "))
+      spark.stop()
+
     case "vacuum" :: indexDir :: rest =>
       // Iceberg-style expire-snapshots: keep the newest N versions
       val keep = rest match {
@@ -230,7 +244,7 @@ object Main {
 
     case _ =>
       System.err.println(
-        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | buildsrc <indexDir> --source doc|web|xml|db|parquet,<arg>... | crawl <url> <pages.parquet> [--max-items N] [--max-depth N] [--types re] [--politeness-ms N] | builddocs <folder> <indexDir> [--page-size N] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | compact <indexDir> | buildvoc <lemmas.txt|dict.xml|folder> <out.voc> [--stemmer en|ru|de|fr] [--format lemmas|opencorpora|freelib] | console <indexDir> | serve <indexDir> [port]")
+        "usage: graft.Main build <pages.parquet> <indexDir> [opts] | buildsrc <indexDir> --source doc|web|xml|db|parquet,<arg>... | crawl <url> <pages.parquet> [--max-items N] [--max-depth N] [--types re] [--politeness-ms N] | builddocs <folder> <indexDir> [--page-size N] | append <pages.parquet> <indexDir> | query <indexDir> [--at v] <req> | bm25 <indexDir> <k> <words...> | suggest <indexDir> <prefix> | histogram <indexDir> [n] | info <indexDir> | compact <indexDir> | buildvoc <lemmas.txt|dict.xml|folder> <out.voc> [--stemmer en|ru|de|fr] [--format lemmas|opencorpora|freelib] | console <indexDir> | serve <indexDir> [port]")
       sys.exit(2)
   }
 
