@@ -125,23 +125,6 @@ object DocumentsSource {
 
   private val Exts = Set(".txt", ".pdf", ".html", ".htm")
 
-  def listRelative(rootDir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(rootDir).toAbsolutePath.normalize
-    val out = Seq.newBuilder[String]
-    val st = java.nio.file.Files.walk(root)
-    try {
-      st.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p)) {
-          val n = p.getFileName.toString.toLowerCase(java.util.Locale.ROOT)
-          val dot = n.lastIndexOf('.')
-          if (dot >= 0 && Exts.contains(n.substring(dot)))
-            out += root.relativize(p).toString
-        }
-      }
-    } finally st.close()
-    out.result().sorted
-  }
-
   /** reference dscr merge: first-seen wins; a line without '=' or with a
     * duplicate key aborts the REST of that file (DataSources.cs:386-397). */
   private[sources] def mergeDscrLines(dict: java.util.LinkedHashMap[String, String],
