@@ -65,16 +65,22 @@ object Main {
       // result feeds `build` (use --form-feed-pages for crawled PDFs)
       val spark = session()
       var cfg = graft.sources.WebCrawler.Config()
+      var workDir: Option[String] = None
       var r = rest
       while (r.nonEmpty) r match {
         case "--max-items" :: n :: t => cfg = cfg.copy(maxItems = n.toInt); r = t
         case "--max-depth" :: n :: t => cfg = cfg.copy(maxDepth = n.toInt); r = t
         case "--types" :: re :: t => cfg = cfg.copy(indexTypes = re); r = t
         case "--politeness-ms" :: n :: t => cfg = cfg.copy(politenessMs = n.toInt); r = t
+        case "--robots" :: t => cfg = cfg.copy(respectRobots = true); r = t
+        // round-scoped parquet staging — must be cluster-visible storage
+        // when running multi-executor (java temp is local-mode only)
+        case "--work-dir" :: d :: t => workDir = Some(d); r = t
         case other :: t => System.err.println(s"unknown option $other"); r = t
         case Nil => ()
       }
-      val work = java.nio.file.Files.createTempDirectory("graft-crawl").toString
+      val work = workDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-crawl").toString)
       val df = graft.sources.WebCrawler.pages(spark, url, work, cfg)
       df.write.mode("overwrite").parquet(out)
       println(s"crawled: docs=${spark.read.parquet(out).count()} → $out")

@@ -74,6 +74,14 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(doc.pages.head == "one\ntwo\nthree\nfour\nfive")
   }
 
+  test("WinAnsiEncoding name form decodes high-byte codes via cp1252") {
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    // 0xE9 = é, 0x80 = € (cp1252-only), 0x93/0x94 = smart quotes
+    val doc = PdfExtract.extract(onePage(
+      "BT /F1 12 Tf (caf\\351 \\200 \\223ok\\224) Tj ET", fontDict = font))
+    assert(doc.pages.head == "café € “ok”")
+  }
+
   test("/Differences encoding maps custom codes through glyph names") {
     val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
       "/Encoding << /Differences [65 /eacute /space /germandbls] >> >>"
