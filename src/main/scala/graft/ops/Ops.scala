@@ -997,6 +997,43 @@ object Ops {
            |  greatest(1, floor(height * least(1.0, least(32.0/width, 32.0/height))))::INT AS new_h
            |FROM dims ORDER BY doc_id""".stripMargin))
 
+  /** Audio metadata: REAL javax.sound decode (WAV/AIFF/AU, magic
+    * prescreened) with a deterministic hash fallback so one pipeline
+    * covers mixed corpora — the audio sibling of mediaDims. The sf corpus
+    * is text, so the driver oracle exercises the fallback; MediaSpec runs
+    * a generated WAV through the same kernel. */
+  def audioMetaOf(bytes: Array[Byte]): (Int, Int, Long) =
+    graft.media.AudioCodec.decodeMeta(bytes) match {
+      case Some(m) => (m.sampleRate.toInt, m.channels, m.frames)
+      case None =>
+        val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        (8000 * (1 + ((h(0) & 0xFF) % 6)), 1 + ((h(1) & 0xFF) % 2), bytes.length.toLong / 4)
+    }
+
+  def audioMeta(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
+        val (rate, ch, frames) = audioMetaOf(bytes)
+        (id, rate, ch, frames)
+      }
+    }.toDF("doc_id", "sample_rate", "channels", "frames")
+  }
+
+  val mmAudioMeta = Op("mm_audio_meta",
+    (s, dir) => {
+      import s.implicits._
+      audioMeta(docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])])
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  8000 * (1 + (('0x' || substr(md5(text), 1, 2))::INT % 6)) AS sample_rate,
+           |  1 + (('0x' || substr(md5(text), 3, 2))::INT % 2) AS channels,
+           |  (octet_length(text::BLOB)::BIGINT // 4) AS frames
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** k evenly spaced frame samples of one payload: REAL composited frames
     * for multi-frame (animated) GIFs — the one video-ish container the
     * JDK decodes without codec jars — with `off` = the sampled frame
@@ -1063,5 +1100,5 @@ object Ops {
     dedupExact, minhashSig, minhashPairs, simhash, ngramJaccard, dedupClusters,
     dedupEmbedding, annBrute, annLsh, annIvf,
     eventsHourly, sessionize,
-    q1Agg, q3Join, topCustomers, mmBinaryMeta, mmResize, mmFrameSample)
+    q1Agg, q3Join, topCustomers, mmBinaryMeta, mmResize, mmFrameSample, mmAudioMeta)
 }

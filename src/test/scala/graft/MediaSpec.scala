@@ -112,6 +112,25 @@ class MediaSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("mm_audio_meta kernel: real WAV decode; fallback for non-audio") {
+    // 0.25 s of 16-bit mono PCM at 8 kHz in a RIFF/WAVE container
+    val n = 2000
+    val pcm = new Array[Byte](n * 2)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val wav = out.toByteArray
+    assert(graft.ops.Ops.audioMetaOf(wav) == ((8000, 1, n.toLong)))
+    // non-audio payloads: deterministic hash fallback in the op's ranges
+    val (rate, ch, frames) = graft.ops.Ops.audioMetaOf("plain prose".getBytes("UTF-8"))
+    assert(rate >= 8000 && rate <= 48000 && rate % 8000 == 0)
+    assert(ch == 1 || ch == 2)
+    assert(frames == "plain prose".getBytes("UTF-8").length / 4)
+  }
+
   test("decode rejects header-claimed giant dimensions (no OOM allocation)") {
     // hand-built PNG header claiming 60000x60000 from a 50-byte payload
     val out = new java.io.ByteArrayOutputStream()
