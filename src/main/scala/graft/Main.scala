@@ -106,8 +106,16 @@ object Main {
       val spark = session()
       var cfg = IndexBuilder.BuildConfig(formFeedPages = true)
       var srcs = List.empty[org.apache.spark.sql.DataFrame]
+      var crawlWork: Option[String] = None
       var r = rest
+      // --work-dir first if present (crawl staging must be cluster-visible
+      // on a multi-executor run)
+      r = r match {
+        case "--work-dir" :: d :: t => crawlWork = Some(d); t
+        case other => other
+      }
       while (r.nonEmpty) r match {
+        case "--work-dir" :: d :: t => crawlWork = Some(d); r = t
         case "--source" :: spec :: t =>
           val parts = spec.split(",", 3)
           srcs = (parts(0) match {
@@ -118,7 +126,8 @@ object Main {
               val c = graft.sources.WebCrawler.Config(
                 indexTypes = if (parts.length > 2) parts(2) else "")
               graft.sources.WebCrawler.pages(spark, parts(1),
-                java.nio.file.Files.createTempDirectory("graft-crawl").toString, c)
+                crawlWork.getOrElse(
+                  java.nio.file.Files.createTempDirectory("graft-crawl").toString), c)
             case "db" =>
               val p = new java.util.Properties()
               val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(parts(1)))
