@@ -108,11 +108,11 @@ object Main {
       var srcs = List.empty[org.apache.spark.sql.DataFrame]
       var crawlWork: Option[String] = None
       var r = rest
-      // --work-dir first if present (crawl staging must be cluster-visible
-      // on a multi-executor run)
-      r = r match {
-        case "--work-dir" :: d :: t => crawlWork = Some(d); t
-        case other => other
+      // pre-scan the FULL option list for --work-dir: web sources stage
+      // their crawl while parsing, so the work dir must be known before the
+      // first --source web,... is constructed wherever it appears
+      crawlWork = rest.sliding(2).collectFirst {
+        case List("--work-dir", d) => d
       }
       while (r.nonEmpty) r match {
         case "--work-dir" :: d :: t => crawlWork = Some(d); r = t

@@ -10,7 +10,13 @@ import java.awt.image.BufferedImage
   */
 object ImageCodec {
 
-  locally { System.setProperty("java.awt.headless", "true") }
+  locally {
+    System.setProperty("java.awt.headless", "true")
+    // Inputs are in-memory byte arrays: a disk-backed FileCacheImageInputStream
+    // would leave a temp file per decode reclaimed only at JVM shutdown —
+    // unbounded handle/disk growth on long-running executors.
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   /** magic-bytes prescreen: PNG / JPEG / GIF / BMP. */
   def isImage(bytes: Array[Byte]): Boolean =
@@ -33,18 +39,20 @@ object ImageCodec {
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val r = readers.next()
-          try {
-            r.setInput(iis, true, true)
-            // dims come from the header — check them before decoding pixels
-            val (w, h) = (r.getWidth(0), r.getHeight(0))
-            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
-            else Option(r.read(0))
-          } finally r.dispose()
-        }
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              // dims come from the header — check them before decoding pixels
+              val (w, h) = (r.getWidth(0), r.getHeight(0))
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+              else Option(r.read(0))
+            } finally r.dispose()
+          }
+        } finally iis.close()
       } catch { case _: Throwable => None }
 
   /** (width, height) of a decodable image payload. */
@@ -70,35 +78,59 @@ object ImageCodec {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return Nil
-      val reader = readers.next()
       try {
-        reader.setInput(iis, false, false)
-        val n = reader.getNumImages(true)
-        if (n <= 1) return Nil
-        // header-claimed dims gate the canvas allocation (see MaxPixels)
-        if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxPixels) return Nil
-        var canvas: BufferedImage = null
-        (0 until n).map { i =>
-          val frame = reader.read(i)
-          val (x, y) = frameOffset(reader.getImageMetadata(i))
-          if (canvas == null)
-            canvas = new BufferedImage(
-              math.max(frame.getWidth + x, frame.getWidth),
-              math.max(frame.getHeight + y, frame.getHeight),
-              BufferedImage.TYPE_INT_RGB)
-          val g = canvas.createGraphics()
-          try g.drawImage(frame, x, y, null) finally g.dispose()
-          val copy = new BufferedImage(canvas.getWidth, canvas.getHeight,
-            BufferedImage.TYPE_INT_RGB)
-          val g2 = copy.createGraphics()
-          try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
-          copy
-        }
-      } finally reader.dispose()
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Nil
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, false)
+          val n = reader.getNumImages(true)
+          if (n <= 1) return Nil
+          // Canvas = GIF logical screen (stream metadata), widened to cover
+          // every frame's descriptor rectangle (offset + dims) — a first
+          // frame smaller than the screen must not clip later frames.
+          var cw = logicalScreen(reader).map(_._1).getOrElse(0)
+          var ch = logicalScreen(reader).map(_._2).getOrElse(0)
+          val offs = new Array[(Int, Int)](n)
+          var i = 0
+          while (i < n) {
+            val (x, y) = frameOffset(reader.getImageMetadata(i))
+            offs(i) = (x, y)
+            cw = math.max(cw, x + reader.getWidth(i))
+            ch = math.max(ch, y + reader.getHeight(i))
+            i += 1
+          }
+          // header-claimed dims gate the canvas allocation (see MaxPixels)
+          if (cw <= 0 || ch <= 0 || cw.toLong * ch > MaxPixels) return Nil
+          val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+          (0 until n).map { i =>
+            val frame = reader.read(i)
+            val (x, y) = offs(i)
+            val g = canvas.createGraphics()
+            try g.drawImage(frame, x, y, null) finally g.dispose()
+            val copy = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_RGB)
+            val g2 = copy.createGraphics()
+            try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
+            copy
+          }
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case _: Throwable => Nil }
   }
+
+  /** (width, height) of the GIF logical screen from stream metadata. */
+  private def logicalScreen(reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val root = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val lsd = root.getElementsByTagName("LogicalScreenDescriptor")
+      if (lsd.getLength == 0) None
+      else {
+        val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+        Some((e.getAttribute("logicalScreenWidth").toInt,
+          e.getAttribute("logicalScreenHeight").toInt))
+      }
+    } catch { case _: Throwable => None }
 
   /** (left, top) of a GIF frame from its image-descriptor metadata. */
   private def frameOffset(md: javax.imageio.metadata.IIOMetadata): (Int, Int) =

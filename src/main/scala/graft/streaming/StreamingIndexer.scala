@@ -195,6 +195,13 @@ object StreamingIndexer {
       oos.close()
       java.nio.file.Files.write(anFile, bos.toByteArray)
     }
+    // pagination props must persist with the index: the query side's
+    // snippet assembly re-derives pages from (pageSize, formFeedPages),
+    // and a purely stream-ingested index would otherwise fall back to
+    // (0, false) and find no text for page ids >= 2.
+    if (!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(indexDir, "buildcfg.properties")))
+      IndexBuilder.writeBuildProps(indexDir, cfg)
 
     // manifest adopts ONLY the previous snapshot's files + this batch's
     // own directories — an orphaned directory from an abandoned attempt is

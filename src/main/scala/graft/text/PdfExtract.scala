@@ -350,13 +350,19 @@ object PdfExtract {
         case n: PNum => n.l
         case _ => throw new PdfError("bad startxref offset")
       }
-      val seen = mutable.HashSet.empty[Long]
-      while (offset > 0 && seen.add(offset)) {
+      while (offset > 0 && xrefSeen.add(offset)) {
         offset = parseXrefSection(offset)
       }
       if (trailer.contains("Encrypt")) throw new PdfError("encrypted PDF unsupported")
       if (!trailer.contains("Root")) throw new PdfError("no document catalog")
     }
+
+    /** Offsets already visited across the /Prev chain AND hybrid /XRefStm
+      * hops — a crafted file whose XRefStm points back at an already-parsed
+      * section must not recurse (StackOverflowError is an Error, so it would
+      * escape tryExtract's Exception catch and kill the Spark task). */
+    // lazy: loadXref() runs from the constructor before vals declared here
+    private lazy val xrefSeen = mutable.HashSet.empty[Long]
 
     /** Parse one xref section (classic table or xref stream) at `offset`;
       * returns the /Prev offset or 0. First-seen entries win (later /Prev
@@ -376,7 +382,10 @@ object PdfExtract {
             }
             t.foreach { case (k, v) => if (!trailer.contains(k)) trailer += (k -> v) }
             // hybrid-reference file: also fold in the xref stream's entries
-            t.get("XRefStm").foreach { case n: PNum => parseXrefSection(n.l); case _ => }
+            t.get("XRefStm").foreach {
+              case n: PNum => if (xrefSeen.add(n.l)) parseXrefSection(n.l)
+              case _ =>
+            }
             return t.get("Prev") match { case Some(n: PNum) => n.l; case _ => 0L }
           }
           val start = lx.next() match { case n: PNum => n.i; case _ => throw new PdfError("bad xref section") }

@@ -112,6 +112,29 @@ class MediaSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("gif frames larger than the first are not clipped (canvas = max extents)") {
+    // first frame 8x8, second 16x16: the canvas must cover the larger
+    // descriptor rectangle, not the first frame's dims
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq((8, 0xFF0000), (16, 0x0000FF)).foreach { case (dim, rgb) =>
+      val img = new java.awt.image.BufferedImage(dim, dim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, dim, dim) } finally g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val frames = ImageCodec.gifFrames(bos.toByteArray)
+    assert(frames.size == 2)
+    assert(frames.forall(f => f.getWidth == 16 && f.getHeight == 16))
+    // the second frame's pixels beyond 8x8 survived (blue, quantized)
+    val c = frames(1).getRGB(12, 12) & 0xFFFFFF
+    assert((c & 0xFF) > 0x80 && (c >> 16) < 0x40)
+  }
+
   test("mm_audio_meta kernel: real WAV decode; fallback for non-audio") {
     // 0.25 s of 16-bit mono PCM at 8 kHz in a RIFF/WAVE container
     val n = 2000

@@ -173,6 +173,24 @@ class PdfExtractSpec extends AnyFunSuite {
     intercept[Exception](PdfExtract.extract(b))
   }
 
+  test("self-referencing /XRefStm does not recurse (hostile hybrid-ref cycle)") {
+    // a classic xref trailer whose /XRefStm points back at the classic
+    // section itself: without cycle detection this recurses unboundedly
+    // (StackOverflowError escapes tryExtract's Exception catch)
+    val objs = Seq(
+      1 -> bytes("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> bytes("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> bytes("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+      4 -> stream("", bytes("BT /F1 12 Tf (cycle safe) Tj ET")))
+    val plain = pdf(objs)
+    val s = new String(plain, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val xrefOff = s.substring(s.lastIndexOf("startxref\n") + 10).trim.takeWhile(_.isDigit)
+    val cyclic = pdf(objs, trailerExtra = s"/XRefStm $xrefOff")
+    val doc = PdfExtract.extract(cyclic)
+    assert(doc.pages == Vector("cycle safe"))
+    assert(PdfExtract.tryExtract(cyclic).nonEmpty)
+  }
+
   test("malformed input: tryExtract is None, never throws") {
     assert(PdfExtract.tryExtract(Array[Byte](1, 2, 3)).isEmpty)
     assert(PdfExtract.tryExtract(bytes("%PDF-1.4 garbage with no xref")).isEmpty)

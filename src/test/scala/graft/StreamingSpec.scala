@@ -20,6 +20,28 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("stream-only index persists pagination config (page >= 2 snippets resolve)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftstreamcfg").toString + "/idx"
+    val cfg = IndexBuilder.BuildConfig(bucketBits = 4, pageSize = 40)
+    // body longer than one 40-char page; the probe term sits past page 1
+    // 57*2 + 6 = 120 chars of filler, so the probe term starts exactly at a
+    // 40-char page boundary (a term straddling a boundary splits its token)
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2 + "abcde " + "zanzibar quokka"
+    val pages = Seq(("http://s/x", null: Array[Byte], body)).toDF("url", "html", "text")
+    assert(StreamingIndexer.appendBatch(spark, pages, dir, cfg, batchId = 0L) == 1L)
+    // the regression: appendBatch into a FRESH dir never wrote
+    // buildcfg.properties, so the query side re-derived a single page "1"
+    // and snippets for pages >= 2 came back empty
+    assert(IndexBuilder.readBuildProps(dir) == ((40, false)))
+    val sr = new SparkSearcher(spark, dir, Analyzer())
+    val out = sr.search("zanzibar")
+    assert(out.docs.nonEmpty && out.docs.head.pages.nonEmpty)
+    val hit = out.docs.head.pages.head
+    assert(hit.pageId.toInt >= 2, s"probe term should land past page 1, got page ${hit.pageId}")
+    assert(hit.text.nonEmpty, "snippet for a page >= 2 must resolve")
+  }
+
   test("streaming batches append; queries match reference over the union") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graftstream").toString
