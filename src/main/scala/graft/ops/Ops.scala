@@ -658,9 +658,16 @@ object Ops {
   // ---- IVF ANN: the second scale path (inverted-file coarse quantizer) ----
 
   /** nlist ≈ √N (the standard IVF sizing: √N lists of √N vectors balances
-    * quantizer-scan cost against list-scan cost). */
+    * quantizer-scan cost against list-scan cost), CAPPED at 65,536: an
+    * uncapped √N makes assignment N·√N = N^1.5 total dot products (10^18
+    * at 10^12 vectors). With the cap, assignment is N·nlist ≤ N·65,536 —
+    * linear in N with a bounded constant — the broadcast quantizer stays
+    * ≤ 65,536·dim doubles (~32 MB at dim=64), and the driver-side
+    * takeOrdered(nlist) centroid pull is bounded the same way. Lists
+    * grow to N/65,536 vectors past the cap's knee (N > 2^32), which
+    * nprobe/4 scanning still bounds at ~nprobe·N/nlist per query. */
   private[graft] def ivfNlist(n: Long): Int =
-    math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    math.min(65536, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** probe a quarter of the lists (min 3) — recall/latency knob. */
   private[graft] def ivfNprobe(nlist: Int): Int =
@@ -688,9 +695,9 @@ object Ops {
     * data points (k-means-init-style — training the quantizer on a sample
     * is standard; the structure is what matters here). Every vector is
     * assigned to its nearest centroid with a per-row loop over the
-    * broadcast centroid table (N·nlist dot products, NO N×nlist row
-    * blowup — at 10^12 vectors the quantizer is ~√N·dim doubles, the only
-    * thing that must fit in executor memory). Queries probe their nprobe
+    * broadcast centroid table (N·nlist dot products with nlist capped at
+    * 65,536 — see ivfNlist — so assignment stays LINEAR in N, and the
+    * broadcast quantizer is at most ~65,536·dim doubles). Queries probe their nprobe
     * nearest lists; exact cosine + top-k runs only over probed lists, so
     * work per query is ~nprobe·√N instead of N. */
   def annIvfTopK(s: SparkSession, e0: DataFrame, k: Int): DataFrame = {

@@ -680,7 +680,12 @@ final class SparkSearcher(
         val cap = Consts.MaxFoundDocs
         val perPart = postings.filter($"term".isin(fCodes: _*)).mapPartitions { it =>
           val ps = plansB.value
-          val rows = it.toArray
+          // a broad field term ({Source=web} ≈ every doc) can put a whole
+          // shard's field blocks in this pass: buffer them BOUNDED (64 MB
+          // heap + spill), replayed once per chunk below — never a full
+          // it.toArray residency (same policy as the main eval passes)
+          val rows = new BlockSpillBuffer()
+          it.foreach(rows += _)
           // presence prescreen (same soundness as the main eval): only
           // docs that can satisfy SOME field expression get their
           // position chains decoded
@@ -743,6 +748,7 @@ final class SparkSearcher(
             idx = end
             chunkSize *= 2
           }
+          rows.close()
           hits.iterator.filter(_._2.nonEmpty).map { case (qi, b) => (qi, b.toArray) }
         }
         perPart.collect().groupBy(_._1).map { case (qi, rows) =>

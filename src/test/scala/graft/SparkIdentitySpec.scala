@@ -148,8 +148,10 @@ class SparkIdentitySpec extends AnyFunSuite {
     }
     buf.close()
 
-    // every block spills in both eval paths; results must not change
-    val reqs = goldenQueries.take(6)
+    // every block spills in both eval paths; results must not change.
+    // the field query exercises the field-membership pass's spill buffer
+    // (it replays the partition's field blocks once per chunk)
+    val reqs = goldenQueries.take(6) :+ ("merriment {Source=web}", SearchOptions())
     val plainBatch = searcher.searchBatch(reqs)
     val plainSingle = reqs.map { case (q, o) => searcher.search(q, o, withWordInfo = false) }
     sys.props("graft.evalspill.maxbytes") = "1"

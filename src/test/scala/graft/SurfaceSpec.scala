@@ -232,6 +232,11 @@ class SurfaceSpec extends AnyFunSuite {
     val nprobe = graft.ops.Ops.ivfNprobe(nlist)
     assert(nprobe.toDouble / nlist <= 0.3,
       s"probed fraction $nprobe/$nlist must stay well below a full scan")
+    // assignment cost bound: nlist caps at 65,536 so N·nlist stays linear
+    // in N (uncapped √N made assignment N^1.5 — 10^18 dots at 10^12 vecs)
+    assert(graft.ops.Ops.ivfNlist(500L) == 23)
+    assert(graft.ops.Ops.ivfNlist(1L << 32) == 65536)
+    assert(graft.ops.Ops.ivfNlist(1000000000000L) == 65536)
     val brute = graft.ops.Ops.annBruteTopK(e, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     val ivf = graft.ops.Ops.annIvfTopK(spark, e, 5)
@@ -281,9 +286,11 @@ class SurfaceSpec extends AnyFunSuite {
     val n = 1000000000000L
     val nlist = graft.ops.Ops.ivfNlist(n)
     val nprobe = graft.ops.Ops.ivfNprobe(nlist)
-    assert(nlist == 1000000, s"sqrt(10^12) lists, got $nlist")
-    // quantizer must broadcast: nlist × 64 dims × 8 bytes = 512 MB
-    assert(nlist.toLong * 64 * 8 <= (1L << 30), "coarse quantizer exceeds 1 GB")
+    // nlist caps at 65,536: uncapped sqrt(10^12) = 10^6 lists would make
+    // assignment N·nlist = 10^18 dot products (N^1.5); capped it is linear
+    assert(nlist == 65536, s"capped quantizer, got $nlist")
+    // quantizer must broadcast comfortably: 65,536 × 64 dims × 8 B = 32 MB
+    assert(nlist.toLong * 64 * 8 <= (64L << 20), "coarse quantizer exceeds 64 MB")
     // probed fraction bounds per-query work at nprobe·(N/nlist) ≈ nprobe·√N
     assert(nprobe.toDouble / nlist <= 0.3)
     // sample key stays within Int64 for any vec_id (the inner mod)
