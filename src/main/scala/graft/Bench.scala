@@ -29,6 +29,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", localDir)
+      // zstd shuffle: the build exchanges term-heavy streams that zstd
+      // packs ~2.2x tighter than lz4 (846 -> 389 MB at this corpus pre-run
+      // -combine) — on shared disks the shuffle is the scaling bottleneck,
+      // so bytes saved buy wall-clock at the high-core leg
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "zstd"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -84,8 +90,10 @@ object Bench {
         override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = sc.stageInfo
           val secs = (for (a <- i.completionTime; b <- i.submissionTime) yield (a - b) / 1e3).getOrElse(-1.0)
+          val m = i.taskMetrics
+          val io = f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0fMB in=${m.inputMetrics.bytesRead / 1e6}%.0fMB out=${m.outputMetrics.bytesWritten / 1e6}%.0fMB cpu=${m.executorCpuTime / 1e9}%.1fs run=${m.executorRunTime / 1e3}%.1fs"
           System.err.println(
-            f"[graft-timing] stg ${i.stageId}%3d $secs%7.2fs tasks=${i.numTasks}%3d  ${i.name.take(60)}")
+            f"[graft-timing] stg ${i.stageId}%3d $secs%7.2fs tasks=${i.numTasks}%3d $io  ${i.name.take(60)}")
         }
       })
     }
@@ -156,7 +164,8 @@ object Bench {
     // isolation/debug mode: run one phase only
     sys.env.get("GRAFT_BENCH_ONLY").foreach { c =>
       val parts = sys.env.get("GRAFT_BENCH_PARTS").map(_.toInt).getOrElse(-1)
-      val r = runPhase(c.toInt, corpusPath, nDocs, nQueries, shufflePartitions = parts)
+      val r = runPhase(c.toInt, corpusPath, nDocs, nQueries,
+        withSearch = !sys.env.contains("GRAFT_BENCH_NOSEARCH"), shufflePartitions = parts)
       println(f"""{"phase":${r.cpus},"build_sec":${r.buildSec}%.3f,"dps":${r.buildDps}%.1f,"batch_sec":${r.batchSec}%.3f,"qps":${r.qps}%.1f,"search_sec":${r.searchSec}%.3f}""")
       return
     }

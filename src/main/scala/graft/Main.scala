@@ -26,6 +26,10 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // zstd shuffle: build exchanges compress ~2.2x tighter than lz4;
+      // shuffle bytes are the scaling bottleneck on shared disks
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "zstd"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

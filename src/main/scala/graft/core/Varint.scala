@@ -38,6 +38,21 @@ object Varint {
     }
   }
 
+  /** Append ONE value's units to `out` — the public splice point for
+    * building/merging delta streams incrementally (run combiner + merger):
+    * a follow-on run's first delta is rewritten against the previous run's
+    * last value, the rest of its bytes are copied verbatim. */
+  def putOne(out: ByteVec, v: Long): Unit = putDelta(out, v)
+
+  /** Byte length of the first varint in `bytes` (0 for empty input) — how
+    * many bytes to skip when splicing a run's delta stream after another. */
+  def firstLen(bytes: Array[Byte]): Int = {
+    if (bytes.length == 0) return 0
+    var p = 0
+    while ((bytes(p + 1) & 0x80) != 0) p += 2
+    p + 2
+  }
+
   /** Encode ascending values (deltas against `base`, first delta = xs(0)-base). */
   def encode(xs: Array[Long], base: Long = 0L): Array[Byte] = {
     val out = new ByteVec(xs.length * 2 + 8)

@@ -56,5 +56,17 @@ final class ByteVec(initial: Int = 32) {
     n += vs.length
     this
   }
+  /** append vs[from..) — splice tail of an independently encoded stream. */
+  def appendSlice(vs: Array[Byte], from: Int): this.type = {
+    val len = vs.length - from
+    while (n + len > arr.length) {
+      val na = new Array[Byte](arr.length * 2)
+      System.arraycopy(arr, 0, na, 0, n)
+      arr = na
+    }
+    System.arraycopy(vs, from, arr, n, len)
+    n += len
+    this
+  }
   def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, n)
 }

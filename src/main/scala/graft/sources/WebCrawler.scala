@@ -255,8 +255,18 @@ object WebCrawler {
     var depth = 0
     var done = false
     while (!done && depth < cfg.maxDepth) {
-      val parts = math.max(1, math.min(
-        frontier.count(), spark.sparkContext.defaultParallelism.toLong).toInt)
+      // Per-host politeness must be GLOBAL: admission is same-host
+      // (TryAddUrl), so the whole frontier is one host, and P parallel
+      // fetch tasks would hit it at P/politenessMs — P times the intended
+      // rate. With a politeness delay the fetch runs in ONE partition
+      // (exactly the reference's single navigate thread + fixed sleep,
+      // WebDataSource.cs:60-67); crawl throughput is rate-bound anyway, so
+      // parallelism buys nothing a polite crawl may use. politenessMs=0
+      // keeps the distributed fetch.
+      val parts =
+        if (pol > 0) 1
+        else math.max(1, math.min(
+          frontier.count(), spark.sparkContext.defaultParallelism.toLong).toInt)
       val maxB = cfg.maxFetchBytes
       val fetched = frontier.repartition(parts)
         .mapPartitions(it0 =>

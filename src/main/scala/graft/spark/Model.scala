@@ -37,6 +37,28 @@ final case class TermDocRow(
     dl: Long,
     coords: Array[Byte])
 
+/** Map-side posting RUN: one row per (term, bucket) per map-partition
+  * bucket-visit/flush — the build's shuffle unit (never persisted). Same
+  * channel layout as PostingBlockRow (delta docIds, raw-varint tfs — the
+  * lens channel for meta runs —, dls for meta runs, concatenated per-doc
+  * position payloads) but with an explicit lastDocId so the reduce-side
+  * merge splices delta streams WITHOUT decoding them. Shuffling runs
+  * instead of one row per (term, doc) cuts exchanged+sorted row counts by
+  * the docs-per-(term,bucket) factor — the dominant build-shuffle cost. */
+final case class TermRunRow(
+    term: String,
+    bucket: Int,
+    firstDocId: Long,
+    lastDocId: Long,
+    nDocs: Int,
+    nPostings: Long,
+    maxTf: Long,
+    minDl: Long,
+    docDeltas: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte],
+    payload: Array[Byte])
+
 /** Posting block: one row per (term, docId-range bucket). Ascending docIds
   * delta+varint encoded; per-doc tf, dl raw-varint; concatenated per-doc
   * position deltas; per-block max normalized-tf for block-max WAND.

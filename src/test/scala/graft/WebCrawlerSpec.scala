@@ -234,4 +234,43 @@ class WebCrawlerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(urls.contains("a.html") && urls.contains("b.html"))
     assert(!urls.contains("plain.txt") && !urls.contains("doc.pdf"))
   }
+
+  test("politeness bounds the crawl to one in-flight request per host globally") {
+    // a dedicated server whose handler CAN serve concurrently (thread
+    // pool) and tracks the max number of simultaneous requests — with the
+    // per-task delay of rounds 1-3 a 12-url frontier on local[4] would
+    // overlap; the global politeness rule must keep it strictly serial
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    val n = 12
+    val rootHtml = ("<html><body>hub" +
+      (0 until n).map(i => s"""<a href="/leaf$i.html">l$i</a>""").mkString +
+      "</body></html>").getBytes("UTF-8")
+    srv.createContext("/", exchange => {
+      maxSeen.accumulateAndGet(inFlight.incrementAndGet(), math.max(_, _))
+      try {
+        Thread.sleep(30) // widen the overlap window parallel fetches would hit
+        val p = exchange.getRequestURI.getPath
+        val body = if (p == "/") rootHtml
+          else s"<html><body>leaf page $p</body></html>".getBytes("UTF-8")
+        exchange.getResponseHeaders.add("Content-Type", "text/html")
+        exchange.sendResponseHeaders(200, body.length)
+        exchange.getResponseBody.write(body)
+        exchange.close()
+      } finally inFlight.decrementAndGet()
+    })
+    srv.start()
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}/"
+      val work = java.nio.file.Files.createTempDirectory("graft-crawl5").toString
+      val pages = WebCrawler.pages(spark, b, work,
+        WebCrawler.Config(maxDepth = 3, politenessMs = 20))
+      assert(pages.count() == n + 1)
+      assert(maxSeen.get() == 1,
+        s"polite crawl must be globally serial per host, saw ${maxSeen.get()} in flight")
+    } finally srv.stop(0)
+  }
 }
