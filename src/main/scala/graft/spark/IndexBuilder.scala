@@ -296,8 +296,11 @@ object IndexBuilder {
       blocks.write.mode("overwrite")
         .options(postingsWriteOptions).parquet(postingsPath)
       mark("stage2-write")
-      verifySingleRowGroup(spark, postingsPath)
-      mark("stage2-verify")
+      // the row-group verifier and the scalar aggregate below are
+      // independent reads of the files just written — overlap them on a
+      // second driver thread (each alone can't fill the cluster's slots)
+      val verifyF = scala.concurrent.Future(verifySingleRowGroup(spark, postingsPath))(
+        scala.concurrent.ExecutionContext.global)
       // ONE column-pruned job computes every global scalar: total postings
       // + block count, and N/sumDl decoded from the meta blocks' dls
       // channel (no separate docmeta aggregate job).
@@ -320,6 +323,7 @@ object IndexBuilder {
         }
         .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
       val avgdlStr = (if (m._3 == 0) 1.0 else m._4.toDouble / m._3).toString
+      scala.concurrent.Await.result(verifyF, scala.concurrent.duration.Duration.Inf)
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
         "postings", sig, m._2, dirBytes(postingsPath),
         Map("totalPostings" -> m._1.toString, "dir" -> postingsDirName,
@@ -330,23 +334,37 @@ object IndexBuilder {
     val nDocs = IndexStore.readStageDetail(indexDir, "postings", "nDocs").get.toLong
     val avgdl = IndexStore.readStageDetail(indexDir, "postings", "avgdl").get.toDouble
 
-    // ---- stage 3: docmeta table derived from the meta blocks ----
-    if (IndexStore.stageDone(indexDir, "docmeta", sig)) resumed += "docmeta"
-    else {
-      val docMeta = spark.read.parquet(postingsPath).as[PostingBlockRow]
-        .filter($"term" === MetaTerm)
-        .flatMap(decodeMetaBlock)
-      docMeta.write.mode("overwrite").parquet(docMetaPath)
-      IndexStore.commitStage(indexDir, IndexStore.StageRecord(
-        "docmeta", sig, nDocs, dirBytes(docMetaPath),
-        Map("nDocs" -> nDocs.toString, "avgdl" -> avgdl.toString,
-          "dir" -> docMetaDirName)))
-    }
-    mark("stage3-docmeta")
+    // ---- stages 3 + 4 on PARALLEL driver threads ----
+    // Both are independent column-pruned scans of the postings files just
+    // written. Run back-to-back, each job's ~`shufflePartitions` tasks
+    // occupy every executor slot and the two jobs serialize; submitted
+    // concurrently, the scheduler backfills each job's straggler tail with
+    // the other's tasks — at high core counts these small stages are
+    // latency-bound, and this halves their wall-clock contribution.
+    implicit val stageEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
 
-    // ---- stage 4: term dictionary from block metadata (tiny agg) ----
-    if (IndexStore.stageDone(indexDir, "termstats", sig)) resumed += "termstats"
-    else {
+    // stage 3: docmeta table derived from the meta blocks
+    val stage3F: scala.concurrent.Future[Boolean] =
+      if (IndexStore.stageDone(indexDir, "docmeta", sig))
+        scala.concurrent.Future.successful(true)
+      else scala.concurrent.Future {
+        val docMeta = spark.read.parquet(postingsPath).as[PostingBlockRow]
+          .filter($"term" === MetaTerm)
+          .flatMap(decodeMetaBlock)
+        docMeta.write.mode("overwrite").parquet(docMetaPath)
+        IndexStore.commitStage(indexDir, IndexStore.StageRecord(
+          "docmeta", sig, nDocs, dirBytes(docMetaPath),
+          Map("nDocs" -> nDocs.toString, "avgdl" -> avgdl.toString,
+            "dir" -> docMetaDirName)))
+        false
+      }
+
+    // stage 4: term dictionary from block metadata (tiny agg)
+    val stage4F: scala.concurrent.Future[Boolean] =
+      if (IndexStore.stageDone(indexDir, "termstats", sig))
+        scala.concurrent.Future.successful(true)
+      else scala.concurrent.Future {
         // hash-partitioned by term with a per-file sort: parallel write (a
         // web-scale vocab is billions of entries — a single-partition
         // sort/write would be the build's bottleneck and an OOM risk) and
@@ -362,8 +380,14 @@ object IndexBuilder {
           .write.mode("overwrite").parquet(termStatsPath)
         IndexStore.commitStage(indexDir, IndexStore.StageRecord(
           "termstats", sig, -1L, dirBytes(termStatsPath), Map("dir" -> termStatsDirName)))
+        false
       }
 
+    if (scala.concurrent.Await.result(stage3F, scala.concurrent.duration.Duration.Inf))
+      resumed += "docmeta"
+    mark("stage3-docmeta")
+    if (scala.concurrent.Await.result(stage4F, scala.concurrent.duration.Duration.Inf))
+      resumed += "termstats"
     mark("stage4-termstats")
     spark.conf.unset("spark.sql.files.maxPartitionBytes")
     // persist the analyzer configuration with the index so query-time

@@ -99,3 +99,27 @@ final case class EvalRow(
     pageIds: Seq[String],
     pageEnds: Seq[Long],
     docLen: Long)
+
+/** One kept document from the distributed selection stage: the fields
+  * `ResultAssembler.enrich` needs (docId, name, dl, scoring code→tf pairs)
+  * plus the already-page-cap-cut page hit table. Coordinates and the raw
+  * page table are consumed by the in-task `selectDocs*` pass and never
+  * shipped to the driver. */
+final case class SelDocRow(
+    docId: Long,
+    name: String,
+    docLen: Long,
+    codes: Seq[String],
+    tfs: Seq[Long],
+    pageIds: Seq[String],
+    pagePos: Seq[Seq[Int]])
+
+/** Per-query output of the distributed selection stage: global page count
+  * (reference cap semantics), summed per-leaf word counts, and the kept
+  * docs in selection order. The driver receives ≤ MaxFoundDocs docs per
+  * query — never the eval stream. */
+final case class SelOutRow(
+    qi: Int,
+    nPages: Int,
+    wordCounts: Seq[Long],
+    docs: Seq[SelDocRow])

@@ -439,37 +439,67 @@ final class SparkSearcher(
       out.iterator
     }
 
-    val docsAsc = evals.orderBy($"docId").toLocalIterator()
-    val buf: BufferedIterator[EvalRow] = new Iterator[EvalRow] {
-      def hasNext: Boolean = docsAsc.hasNext
-      def next(): EvalRow = docsAsc.next()
-    }.buffered
-    // drain sentinels (they sort before all real docs)
-    var wordSums: Array[Long] = Array.emptyLongArray
-    val fieldIds = mutable.ArrayBuffer.empty[Long]
-    while (buf.hasNext && buf.head.docId < 0) {
-      val e = buf.next()
-      if (e.docId == -2L) {
-        if (wordSums.isEmpty) wordSums = new Array[Long](e.leafCounts.length)
-        var i = 0
-        while (i < e.leafCounts.length) { wordSums(i) += e.leafCounts(i); i += 1 }
-      } else fieldIds ++= e.leafCounts
+    // In-task global selection: repartition(1) is a HASH exchange — no
+    // range-sampling job, so the eval scan runs ONCE (an orderBy here ran
+    // it twice: once to sample sort keys, once for the sort) — and
+    // sortWithinPartitions gives the global docId order inside one task
+    // whose input is bounded by the per-partition page-cap cuts, not by
+    // the query's breadth. The reference's sequential cap scan (sentinel
+    // drain, page/doc caps, field intersection, filters) runs there; only
+    // kept docs (≤ MaxFoundDocs, coords/page tables already consumed)
+    // reach the driver, replacing one serial toLocalIterator job per
+    // sorted partition.
+    val selRow: Option[SelOutRow] = {
+      val qpB2 = qpB
+      evals
+        .repartition(1)
+        .sortWithinPartitions($"docId")
+        .mapPartitions { it =>
+          val q = qpB2.value
+          val buf = it.buffered
+          // drain sentinels (they sort before all real docs)
+          var wordSums = Array.emptyLongArray
+          val fieldIds = mutable.ArrayBuffer.empty[Long]
+          while (buf.hasNext && buf.head.docId < 0) {
+            val e = buf.next()
+            if (e.docId == -2L) {
+              if (wordSums.isEmpty) wordSums = new Array[Long](e.leafCounts.length)
+              var i = 0
+              while (i < e.leafCounts.length) { wordSums(i) += e.leafCounts(i); i += 1 }
+            } else fieldIds ++= e.leafCounts
+          }
+          // field-docs set: first 500 field-matching docs in docId order
+          val fieldDocIds: Option[Set[Long]] =
+            if (q.fields.isEmpty || q.body.isEmpty) None
+            else Some(fieldIds.toArray.sorted.take(Consts.MaxFoundDocs).toSet)
+          val iter = new Iterator[ResultAssembler.DocEval] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): ResultAssembler.DocEval = {
+              val e = buf.next()
+              val codeTfs = e.codes.zip(e.tfs).filter(_._2 > 0).toSeq
+              ResultAssembler.DocEval(e.docId, e.name, e.coords,
+                e.pageIds.toArray, e.pageEnds.toArray, e.docLen, codeTfs)
+            }
+          }
+          val (kept, nPages) = ResultAssembler.selectDocs(iter, q.filters, fieldDocIds)
+          Iterator.single(SelOutRow(0, nPages, wordSums.toSeq, kept.iterator.map(p =>
+            SelDocRow(p.d.docId, p.d.name, p.d.dl,
+              p.d.codeTfs.map(_._1), p.d.codeTfs.map(_._2),
+              p.pages.iterator.map(_._1).toSeq,
+              p.pages.iterator.map(_._2.toSeq).toSeq)).toSeq))
+        }
+        .collect().headOption
     }
-    // field-docs set: first 500 field-matching docs in global docId order
-    val fieldDocIds: Option[Set[Long]] =
-      if (qp.fields.isEmpty || qp.body.isEmpty) None
-      else Some(fieldIds.toArray.sorted.take(Consts.MaxFoundDocs).toSet)
-
-    val iter = new Iterator[ResultAssembler.DocEval] {
-      def hasNext: Boolean = buf.hasNext
-      def next(): ResultAssembler.DocEval = {
-        val e = buf.next()
-        val codeTfs = e.codes.zip(e.tfs).filter(_._2 > 0).toSeq
-        ResultAssembler.DocEval(e.docId, e.name, e.coords,
-          e.pageIds.toArray, e.pageEnds.toArray, e.docLen, codeTfs)
-      }
-    }
-    val (kept, nFoundPages) = ResultAssembler.selectDocs(iter, qp.filters, fieldDocIds)
+    val kept = mutable.ArrayBuffer.empty[ResultAssembler.Partial]
+    selRow.foreach(_.docs.foreach { d =>
+      kept += ResultAssembler.Partial(
+        ResultAssembler.DocEval(d.docId, d.name, Array.emptyLongArray,
+          Array.empty[String], Array.emptyLongArray, d.docLen, d.codes.zip(d.tfs)),
+        mutable.ArrayBuffer(d.pageIds.zip(
+          d.pagePos.map(pp => mutable.ArrayBuffer(pp: _*))): _*))
+    })
+    val nFoundPages = selRow.map(_.nPages).getOrElse(0)
+    val wordSums = selRow.map(_.wordCounts).getOrElse(Nil)
 
     val wordInfos: Seq[WordInfo] =
       if (!withWordInfo) qp.leaves.map(l => WordInfo(l.word, 0L))
@@ -757,68 +787,84 @@ final class SparkSearcher(
       }
     val fsB = spark.sparkContext.broadcast(fieldSets)
 
-    val flagged = evals
+    // Distributed per-query selection: hash-shuffle the page-cap-cut eval
+    // rows by query id (NO range sampling — an orderBy here re-ran the
+    // whole eval scan once just to sample sort keys), sort each query's
+    // rows by docId within its partition (all rows of a query land in one
+    // partition, so this IS the global docId order per query), and run the
+    // reference selection semantics (sentinel aggregation, page/doc caps,
+    // filters, field intersection) IN-TASK, queries in parallel. The
+    // driver collects only ≤ MaxFoundDocs kept docs per query — never the
+    // eval stream, and never one serial toLocalIterator job per partition.
+    val selParts = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, plans.length))
+    val selected: Array[SelOutRow] = evals
       .map { case (qi, e) =>
         val inField = fsB.value.get(qi).exists(s => e.fieldHit && s.contains(e.docId))
         (qi, e, inField)
       }
-      .toDF("qi", "e", "inField")
-      .orderBy($"qi", $"e.docId")
-
-    // one ordered pull; per-query streaming assembly with exact caps.
-    // Every partition's contribution was page-cap-cut upstream, so the
-    // residual drain past a query's stop point is bounded, not the full
-    // hit stream of a broad query.
-    val rows = flagged.toLocalIterator()
-    val buf: BufferedIterator[org.apache.spark.sql.Row] =
-      new Iterator[org.apache.spark.sql.Row] {
-        def hasNext: Boolean = rows.hasNext
-        def next(): org.apache.spark.sql.Row = rows.next()
-      }.buffered
-
-    val wordCounts = Array.fill(plans.length)(Array.emptyLongArray)
-    val keptPer = plans.indices.map { qi =>
-      val hasFields = plans(qi).fields.nonEmpty && plans(qi).body.nonEmpty
-      // sentinel rows (docId = -1) carry this query's per-partition leaf
-      // count sums; they sort before every real doc
-      while (buf.hasNext && buf.head.getInt(0) == qi &&
-        buf.head.getStruct(1).getLong(0) == -1L) {
-        val counts = buf.next().getStruct(1).getSeq[Long](3)
-        if (wordCounts(qi).isEmpty) wordCounts(qi) = new Array[Long](counts.length)
-        var i = 0
-        while (i < counts.length) { wordCounts(qi)(i) += counts(i); i += 1 }
-      }
-      val iter: Iterator[(ResultAssembler.DocEval, Boolean)] = new Iterator[(ResultAssembler.DocEval, Boolean)] {
-        def hasNext: Boolean = buf.hasNext && buf.head.getInt(0) == qi
-        def next(): (ResultAssembler.DocEval, Boolean) = {
-          val r = buf.next()
-          val e = r.getStruct(1)
-          val docId = e.getLong(0)
-          val coords = e.getSeq[Long](1).toArray
-          val codes = e.getSeq[String](4)
-          val tfs = e.getSeq[Long](5)
-          val inField = r.getBoolean(2)
-          (ResultAssembler.DocEval(docId, e.getString(6), coords,
-            e.getSeq[String](7).toArray, e.getSeq[Long](8).toArray, e.getLong(9),
-            codes.zip(tfs).filter(_._2 > 0)), inField || !hasFields)
+      .repartition(selParts, $"_1")
+      .sortWithinPartitions($"_1", $"_2.docId")
+      .mapPartitions { it =>
+        val ps = plansB.value
+        val buf = it.buffered
+        val out = mutable.ArrayBuffer.empty[SelOutRow]
+        while (buf.hasNext) {
+          val qi = buf.head._1
+          val hasFields = ps(qi).fields.nonEmpty && ps(qi).body.nonEmpty
+          // sentinel rows (docId = -1) carry this query's per-partition
+          // leaf count sums; they sort before every real doc
+          var wc = Array.emptyLongArray
+          while (buf.hasNext && buf.head._1 == qi && buf.head._2.docId == -1L) {
+            val counts = buf.next()._2.leafCounts
+            if (wc.isEmpty) wc = new Array[Long](counts.length)
+            var i = 0
+            while (i < counts.length) { wc(i) += counts(i); i += 1 }
+          }
+          val iter: Iterator[(ResultAssembler.DocEval, Boolean)] =
+            new Iterator[(ResultAssembler.DocEval, Boolean)] {
+              def hasNext: Boolean = buf.hasNext && buf.head._1 == qi
+              def next(): (ResultAssembler.DocEval, Boolean) = {
+                val (_, e, inField) = buf.next()
+                (ResultAssembler.DocEval(e.docId, e.name, e.coords,
+                  e.pageIds.toArray, e.pageEnds.toArray, e.docLen,
+                  e.codes.zip(e.tfs).filter(_._2 > 0).toSeq), inField || !hasFields)
+              }
+            }
+          val (kept, nPages) =
+            ResultAssembler.selectDocsFlagged(iter, ps(qi).filters, hasFields)
+          // skip residual rows of this query (bounded by the upstream cut)
+          while (buf.hasNext && buf.head._1 == qi) buf.next()
+          out += SelOutRow(qi, nPages, wc.toSeq, kept.iterator.map(p =>
+            SelDocRow(p.d.docId, p.d.name, p.d.dl,
+              p.d.codeTfs.map(_._1), p.d.codeTfs.map(_._2),
+              p.pages.iterator.map(_._1).toSeq,
+              p.pages.iterator.map(_._2.toSeq).toSeq)).toSeq)
         }
+        out.iterator
       }
-      val (kept, nPages) = ResultAssembler.selectDocsFlagged(iter, plans(qi).filters, hasFields)
-      // skip residual rows of this query (bounded by the per-partition cut)
-      while (buf.hasNext && buf.head.getInt(0) == qi) buf.next()
-      (kept, nPages)
-    }
+      .collect()
+    val selByQi: Map[Int, SelOutRow] = selected.iterator.map(r => r.qi -> r).toMap
 
     // texts + enrichment, one fetch for the union of kept docs
-    val allKeptIds = keptPer.flatMap(_._1.map(_.d.docId)).distinct
+    val allKeptIds = selected.iterator.flatMap(_.docs.iterator.map(_.docId)).toSeq.distinct
     val textMap: Map[Long, ResultAssembler.Texts] =
       if (allKeptIds.isEmpty) Map.empty
       else docText.filter($"docId".isin(allKeptIds: _*))
         .collect().map(d => d.docId -> ResultAssembler.Texts(d.header, bodyPagesOf(d.body))).toMap
 
     plans.indices.map { qi =>
-      val (kept, nPages) = keptPer(qi)
-      val sums = wordCounts(qi)
+      val sel = selByQi.get(qi)
+      val kept = mutable.ArrayBuffer.empty[ResultAssembler.Partial]
+      sel.foreach(_.docs.foreach { d =>
+        kept += ResultAssembler.Partial(
+          ResultAssembler.DocEval(d.docId, d.name, Array.emptyLongArray,
+            Array.empty[String], Array.emptyLongArray, d.docLen, d.codes.zip(d.tfs)),
+          mutable.ArrayBuffer(d.pageIds.zip(
+            d.pagePos.map(pp => mutable.ArrayBuffer(pp: _*))): _*))
+      })
+      val nPages = sel.map(_.nPages).getOrElse(0)
+      val sums = sel.map(_.wordCounts).getOrElse(Nil)
       val wi = plans(qi).leaves.zipWithIndex.map { case (l, i) =>
         WordInfo(l.word, if (i < sums.length) sums(i) else 0L)
       }
@@ -854,6 +900,51 @@ final class SparkSearcher(
     Array.tabulate(n)(i => (ds(i), ss(i)))
   }
 
+  /** k-way docId pointer merge over per-code contribution arrays with a
+    * bounded top-k insertion (score desc, docId asc). Arrays are ascending
+    * by docId; per doc, contributions add in array order — the caller
+    * passes them in sorted-code order, keeping accumulation canonical. */
+  private def mergeTopK(
+      arrs: Array[(Array[Long], Array[Double])], k: Int): Array[(Long, Double)] = {
+    val m = arrs.length
+    val pos = new Array[Int](m)
+    val ds = new Array[Long](k)
+    val ss = new Array[Double](k)
+    var n = 0
+    while (true) {
+      // min docId across cursors (m is a query's code count — tiny)
+      var d = Long.MaxValue
+      var a = 0
+      while (a < m) {
+        val p = pos(a)
+        if (p < arrs(a)._1.length && arrs(a)._1(p) < d) d = arrs(a)._1(p)
+        a += 1
+      }
+      if (d == Long.MaxValue) {
+        return Array.tabulate(n)(i => (ds(i), ss(i)))
+      }
+      var s = 0.0
+      a = 0
+      while (a < m) {
+        val p = pos(a)
+        if (p < arrs(a)._1.length && arrs(a)._1(p) == d) {
+          s += arrs(a)._2(p)
+          pos(a) = p + 1
+        }
+        a += 1
+      }
+      if (n < k || s > ss(n - 1) || (s == ss(n - 1) && d < ds(n - 1))) {
+        var i = if (n < k) n else k - 1
+        while (i > 0 && (ss(i - 1) < s || (ss(i - 1) == s && ds(i - 1) > d))) {
+          ds(i) = ds(i - 1); ss(i) = ss(i - 1); i -= 1
+        }
+        ds(i) = d; ss(i) = s
+        if (n < k) n += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Resolve many bag-of-words queries with ONE dictionary round-trip. */
   private def resolveQueryCodesBatch(queries: Seq[Seq[String]]): Seq[Seq[String]] = {
     val perWord = queries.flatten.distinct.map { w =>
@@ -884,12 +975,23 @@ final class SparkSearcher(
     val idf = allCodes.map(c => c -> Ranker.bm25Idf(nDocs, dfs.getOrElse(c, 0L))).toMap
     val qIdf: Seq[Seq[(String, Double)]] = qCodes.map(_.map(c => c -> idf(c)))
     val qIdfB = spark.sparkContext.broadcast(qIdf)
+    val idfB = spark.sparkContext.broadcast(idf)
     val ad = avgdl
 
     // Doc-sharded layout → score locally per partition, NO shuffle: each
     // task holds complete documents (every query term of its docs, plus
     // the per-bucket dl strips). Scorers decode only (docId, tf) runs —
     // position bytes are never touched.
+    //
+    // A code's per-doc BM25 contribution (idf × tfNorm) is QUERY-
+    // INDEPENDENT, so it is computed once per (code, partition) into a
+    // docId-ascending contribution array; each query then k-way-MERGES its
+    // codes' arrays by docId pointer walk — sequential array reads, no
+    // hash map, no per-visit tfNorm recompute. With Zipf-hot codes shared
+    // by hundreds of batch queries this is where the batch's CPU went.
+    // Per-doc accumulation order stays the sorted-code order (arrays are
+    // visited in qCodes order, which resolveQueryCodesBatch sorts), so
+    // scores remain bit-identical to the sequential reference scorer.
     val perBucket = postings
       .filter($"term".isin(allCodes :+ IndexBuilder.DlStripTerm: _*))
       .mapPartitions { blocks =>
@@ -904,16 +1006,37 @@ final class SparkSearcher(
           }
         }
         val qs = qIdfB.value
-        qs.iterator.zipWithIndex.flatMap { case (codesIdf, qi) =>
-          val scores = mutable.LongMap.empty[Double]
-          // codes arrive sorted (resolveQueryCodes sorts) → canonical order
-          codesIdf.foreach { case (code, cIdf) =>
-            byTerm.get(code).foreach(_.foreach { case (d, tf) =>
-              scores(d) = scores.getOrElse(d, 0.0) +
-                cIdf * Ranker.bm25TfNorm(tf, dlOf.getOrElse(d, 1L), ad)
-            })
+        // per-code contribution arrays (docId asc — block order within a
+        // term is ascending by the index invariant; guarded below)
+        val contrib = mutable.HashMap.empty[String, (Array[Long], Array[Double])]
+        byTerm.foreach { case (code, buf) =>
+          val n = buf.length
+          val ds = new Array[Long](n)
+          val tf = new Array[Long](n)
+          var i = 0
+          var asc = true
+          buf.foreach { case (d, t) =>
+            if (i > 0 && d <= ds(i - 1)) asc = false
+            ds(i) = d; tf(i) = t; i += 1
           }
-          topK(scores, k).map { case (d, s) => (qi, d, s) }
+          if (!asc) { // defensive: restore the invariant rather than mis-merge
+            val idx = Array.range(0, n).sortBy(ds(_))
+            val ds2 = idx.map(ds(_)); val tf2 = idx.map(tf(_))
+            System.arraycopy(ds2, 0, ds, 0, n); System.arraycopy(tf2, 0, tf, 0, n)
+          }
+          val cIdf = idfB.value(code)
+          val cs = new Array[Double](n)
+          i = 0
+          while (i < n) {
+            cs(i) = cIdf * Ranker.bm25TfNorm(tf(i), dlOf.getOrElse(ds(i), 1L), ad)
+            i += 1
+          }
+          contrib(code) = (ds, cs)
+        }
+        qs.iterator.zipWithIndex.flatMap { case (codesIdf, qi) =>
+          val arrs = codesIdf.iterator.map(_._1).flatMap(contrib.get).toArray
+          if (arrs.isEmpty) Iterator.empty
+          else mergeTopK(arrs, k).iterator.map { case (d, s) => (qi, d, s) }
         }
       }
 
