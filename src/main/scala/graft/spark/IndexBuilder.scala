@@ -264,8 +264,26 @@ object IndexBuilder {
     // and land in the postings files as '\u0000md' blocks; stage 3 derives
     // the docmeta table from them with a cheap term-pruned scan — no
     // second tokenize, no cached intermediate.
-    if (IndexStore.stageDone(indexDir, "postings", sig)) resumed += "postings"
-    else {
+    implicit val stageEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+
+    // The postings WRITE is the synchronous backbone; everything after it
+    // (row-group verify, global-scalar aggregate, postings commit, docmeta
+    // derivation, termstats aggregate) is an independent read of the files
+    // just written and runs on concurrent driver threads — the scheduler
+    // interleaves their tasks, so these small latency-bound jobs cost
+    // max() instead of sum() of their wall times. `postingsInfoF` resolves
+    // to (totalPostings, nDocs, avgdl) once the postings stage commits;
+    // stages 3/4 start their Spark jobs immediately but hold their OWN
+    // commits until it resolves, keeping the marker order crash-safe.
+    val postingsInfoF: scala.concurrent.Future[(Long, Long, Double)] =
+    if (IndexStore.stageDone(indexDir, "postings", sig)) {
+      resumed += "postings"
+      scala.concurrent.Future.successful((
+        IndexStore.readStageDetail(indexDir, "postings", "totalPostings").get.toLong,
+        IndexStore.readStageDetail(indexDir, "postings", "nDocs").get.toLong,
+        IndexStore.readStageDetail(indexDir, "postings", "avgdl").get.toDouble))
+    } else {
       val bc = spark.sparkContext.broadcast(an)
       val bits = cfg.bucketBits
       val psz = cfg.pageSize
@@ -296,55 +314,46 @@ object IndexBuilder {
       blocks.write.mode("overwrite")
         .options(postingsWriteOptions).parquet(postingsPath)
       mark("stage2-write")
-      // the row-group verifier and the scalar aggregate below are
-      // independent reads of the files just written — overlap them on a
-      // second driver thread (each alone can't fill the cluster's slots)
-      val verifyF = scala.concurrent.Future(verifySingleRowGroup(spark, postingsPath))(
-        scala.concurrent.ExecutionContext.global)
-      // ONE column-pruned job computes every global scalar: total postings
-      // + block count, and N/sumDl decoded from the meta blocks' dls
-      // channel (no separate docmeta aggregate job).
-      val m = spark.read.parquet(postingsPath)
-        .select($"term", $"nDocs", $"nPostings", $"dls")
-        .as[(String, Int, Long, Array[Byte])]
-        .mapPartitions { it =>
-          var nPost = 0L; var nBlocks = 0L; var nDocs = 0L; var sumDl = 0L
-          it.foreach { case (term, nd, np, dls) =>
-            nBlocks += 1
-            nPost += np
-            if (term == MetaTerm) {
-              nDocs += nd
-              val r = new Varint.Reader(dls)
-              var i = 0
-              while (i < nd) { sumDl += r.nextRaw(); i += 1 }
+      // the row-group verifier and the scalar aggregate run on their own
+      // driver threads (each alone can't fill the cluster's slots); the
+      // postings commit lands once both finish.
+      val verifyF = scala.concurrent.Future(verifySingleRowGroup(spark, postingsPath))
+      scala.concurrent.Future {
+        // ONE column-pruned job computes every global scalar: total
+        // postings + block count, and N/sumDl decoded from the meta
+        // blocks' dls channel (no separate docmeta aggregate job).
+        val m = spark.read.parquet(postingsPath)
+          .select($"term", $"nDocs", $"nPostings", $"dls")
+          .as[(String, Int, Long, Array[Byte])]
+          .mapPartitions { it =>
+            var nPost = 0L; var nBlocks = 0L; var nDocs = 0L; var sumDl = 0L
+            it.foreach { case (term, nd, np, dls) =>
+              nBlocks += 1
+              nPost += np
+              if (term == MetaTerm) {
+                nDocs += nd
+                val r = new Varint.Reader(dls)
+                var i = 0
+                while (i < nd) { sumDl += r.nextRaw(); i += 1 }
+              }
             }
+            Iterator.single((nPost, nBlocks, nDocs, sumDl))
           }
-          Iterator.single((nPost, nBlocks, nDocs, sumDl))
-        }
-        .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
-      val avgdlStr = (if (m._3 == 0) 1.0 else m._4.toDouble / m._3).toString
-      scala.concurrent.Await.result(verifyF, scala.concurrent.duration.Duration.Inf)
-      IndexStore.commitStage(indexDir, IndexStore.StageRecord(
-        "postings", sig, m._2, dirBytes(postingsPath),
-        Map("totalPostings" -> m._1.toString, "dir" -> postingsDirName,
-          "nDocs" -> m._3.toString, "avgdl" -> avgdlStr)))
+          .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+        val avgdl = if (m._3 == 0) 1.0 else m._4.toDouble / m._3
+        scala.concurrent.Await.result(verifyF, scala.concurrent.duration.Duration.Inf)
+        IndexStore.commitStage(indexDir, IndexStore.StageRecord(
+          "postings", sig, m._2, dirBytes(postingsPath),
+          Map("totalPostings" -> m._1.toString, "dir" -> postingsDirName,
+            "nDocs" -> m._3.toString, "avgdl" -> avgdl.toString)))
+        (m._1, m._3, avgdl)
+      }
     }
-    mark("stage2-postings")
-    val totalPostings = IndexStore.readStageDetail(indexDir, "postings", "totalPostings").get.toLong
-    val nDocs = IndexStore.readStageDetail(indexDir, "postings", "nDocs").get.toLong
-    val avgdl = IndexStore.readStageDetail(indexDir, "postings", "avgdl").get.toDouble
 
-    // ---- stages 3 + 4 on PARALLEL driver threads ----
-    // Both are independent column-pruned scans of the postings files just
-    // written. Run back-to-back, each job's ~`shufflePartitions` tasks
-    // occupy every executor slot and the two jobs serialize; submitted
-    // concurrently, the scheduler backfills each job's straggler tail with
-    // the other's tasks — at high core counts these small stages are
-    // latency-bound, and this halves their wall-clock contribution.
-    implicit val stageEc: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
-
-    // stage 3: docmeta table derived from the meta blocks
+    // stage 3: docmeta table derived from the meta blocks. The Spark job
+    // starts immediately (the postings FILES are on disk); only its stage
+    // marker waits for the postings commit, so a crash can never leave a
+    // docmeta marker without a postings marker.
     val stage3F: scala.concurrent.Future[Boolean] =
       if (IndexStore.stageDone(indexDir, "docmeta", sig))
         scala.concurrent.Future.successful(true)
@@ -353,6 +362,8 @@ object IndexBuilder {
           .filter($"term" === MetaTerm)
           .flatMap(decodeMetaBlock)
         docMeta.write.mode("overwrite").parquet(docMetaPath)
+        val (_, nDocs, avgdl) =
+          scala.concurrent.Await.result(postingsInfoF, scala.concurrent.duration.Duration.Inf)
         IndexStore.commitStage(indexDir, IndexStore.StageRecord(
           "docmeta", sig, nDocs, dirBytes(docMetaPath),
           Map("nDocs" -> nDocs.toString, "avgdl" -> avgdl.toString,
@@ -378,11 +389,15 @@ object IndexBuilder {
           .agg(sum($"nDocs").cast("long").as("df"), sum($"nPostings").as("cf"))
           .repartition(statsParts, $"term").sortWithinPartitions($"term")
           .write.mode("overwrite").parquet(termStatsPath)
+        scala.concurrent.Await.result(postingsInfoF, scala.concurrent.duration.Duration.Inf)
         IndexStore.commitStage(indexDir, IndexStore.StageRecord(
           "termstats", sig, -1L, dirBytes(termStatsPath), Map("dir" -> termStatsDirName)))
         false
       }
 
+    val (totalPostings, nDocs, avgdl) =
+      scala.concurrent.Await.result(postingsInfoF, scala.concurrent.duration.Duration.Inf)
+    mark("stage2-postings")
     if (scala.concurrent.Await.result(stage3F, scala.concurrent.duration.Duration.Inf))
       resumed += "docmeta"
     mark("stage3-docmeta")

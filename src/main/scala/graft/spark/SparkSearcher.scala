@@ -903,9 +903,11 @@ final class SparkSearcher(
   /** k-way docId pointer merge over per-code contribution arrays with a
     * bounded top-k insertion (score desc, docId asc). Arrays are ascending
     * by docId; per doc, contributions add in array order — the caller
-    * passes them in sorted-code order, keeping accumulation canonical. */
+    * passes them in sorted-code order, keeping accumulation canonical.
+    * Returns parallel (docIds, scores) arrays sorted by (score desc,
+    * docId asc) — the compact shape the treeReduce merge consumes. */
   private def mergeTopK(
-      arrs: Array[(Array[Long], Array[Double])], k: Int): Array[(Long, Double)] = {
+      arrs: Array[(Array[Long], Array[Double])], k: Int): (Array[Long], Array[Double]) = {
     val m = arrs.length
     val pos = new Array[Int](m)
     val ds = new Array[Long](k)
@@ -921,7 +923,7 @@ final class SparkSearcher(
         a += 1
       }
       if (d == Long.MaxValue) {
-        return Array.tabulate(n)(i => (ds(i), ss(i)))
+        return (ds.take(n), ss.take(n))
       }
       var s = 0.0
       a = 0
@@ -943,6 +945,29 @@ final class SparkSearcher(
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Two-pointer merge of two per-query top-k lists, each sorted by
+    * (score desc, docId asc); keeps the best k. A doc is scored in exactly
+    * one shard, so entries never collide and scores stay bit-identical. */
+  private def mergePairTopK(
+      a: (Array[Long], Array[Double]),
+      b: (Array[Long], Array[Double]), k: Int): (Array[Long], Array[Double]) = {
+    if (a == null) return b
+    if (b == null) return a
+    val n = math.min(k, a._1.length + b._1.length)
+    val ds = new Array[Long](n)
+    val ss = new Array[Double](n)
+    var i = 0; var j = 0; var o = 0
+    while (o < n) {
+      val takeA =
+        j >= b._1.length || (i < a._1.length &&
+          (a._2(i) > b._2(j) || (a._2(i) == b._2(j) && a._1(i) < b._1(j))))
+      if (takeA) { ds(o) = a._1(i); ss(o) = a._2(i); i += 1 }
+      else { ds(o) = b._1(j); ss(o) = b._2(j); j += 1 }
+      o += 1
+    }
+    (ds, ss)
   }
 
   /** Resolve many bag-of-words queries with ONE dictionary round-trip. */
@@ -992,8 +1017,9 @@ final class SparkSearcher(
     // Per-doc accumulation order stays the sorted-code order (arrays are
     // visited in qCodes order, which resolveQueryCodesBatch sorts), so
     // scores remain bit-identical to the sequential reference scorer.
-    val perBucket = postings
+    val perBucket: org.apache.spark.rdd.RDD[Array[(Array[Long], Array[Double])]] = postings
       .filter($"term".isin(allCodes :+ IndexBuilder.DlStripTerm: _*))
+      .rdd
       .mapPartitions { blocks =>
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Long)]]
         val dlOf = mutable.LongMap.empty[Long]
@@ -1005,7 +1031,7 @@ final class SparkSearcher(
             IndexBuilder.decodeDocTfs(b).foreach(buf += _)
           }
         }
-        val qs = qIdfB.value
+        val qs = qIdfB.value.toArray
         // per-code contribution arrays (docId asc — block order within a
         // term is ascending by the index invariant; guarded below)
         val contrib = mutable.HashMap.empty[String, (Array[Long], Array[Double])]
@@ -1033,29 +1059,37 @@ final class SparkSearcher(
           }
           contrib(code) = (ds, cs)
         }
-        qs.iterator.zipWithIndex.flatMap { case (codesIdf, qi) =>
-          val arrs = codesIdf.iterator.map(_._1).flatMap(contrib.get).toArray
-          if (arrs.isEmpty) Iterator.empty
-          else mergeTopK(arrs, k).iterator.map { case (d, s) => (qi, d, s) }
+        val tops = new Array[(Array[Long], Array[Double])](qs.length)
+        var qi = 0
+        while (qi < qs.length) {
+          val arrs = qs(qi).iterator.map(_._1).flatMap(contrib.get).toArray
+          if (arrs.nonEmpty) tops(qi) = mergeTopK(arrs, k)
+          qi += 1
         }
+        Iterator.single(tops)
       }
 
-    // two-level merge: per-task top-k (above) → distributed per-query
-    // merge → the driver receives only Q×k rows, not Q×k×#tasks (which at
-    // web scale is the whole point of the per-bucket heaps). Merging picks
-    // max entries — docs are fully scored within their shard, so no
-    // re-accumulation and scores stay bit-identical.
-    val top = perBucket
-      .groupByKey(_._1)
-      .mapGroups { (qi, rows) =>
-        (qi, rows.map(r => (r._2, r._3)).toArray
-          .sortBy { case (d, s) => (-s, d) }.take(k).toSeq)
-      }
-      .collect()
+    // two-level merge: per-task top-k (above) → treeReduce over the
+    // per-task Q×k partials. No shuffle stage (the former groupByKey
+    // exchange moved Q×k×#tasks rows and AQE coalesced its reduce side to
+    // ~2 tasks — a serial tail at every cluster size), and the driver
+    // receives O(√#tasks) partials instead of the eval stream. Docs are
+    // fully scored within their shard, so merging picks max entries with
+    // no re-accumulation and scores stay bit-identical.
+    val kk = k
+    val merged: Array[(Array[Long], Array[Double])] =
+      if (perBucket.getNumPartitions == 0) Array.fill(queries.length)(null)
+      else perBucket.treeReduce({ (x, y) =>
+        val out = new Array[(Array[Long], Array[Double])](x.length)
+        var qi = 0
+        while (qi < x.length) { out(qi) = mergePairTopK(x(qi), y(qi), kk); qi += 1 }
+        out
+      }, depth = 2)
     mark("scoreJob")
-    val out = Array.fill(queries.length)(Seq.empty[(Long, Double)])
-    top.foreach { case (qi, rows) => out(qi) = rows }
-    out.toSeq
+    merged.iterator.map { t =>
+      if (t == null) Seq.empty[(Long, Double)]
+      else t._1.indices.map(i => (t._1(i), t._2(i)))
+    }.toSeq
   }
 
   /** Single-query exact top-k with two-phase block-max WAND: phase 1 scores
