@@ -211,6 +211,38 @@ object Bench {
     val hwLo = (0 until 2).map(_ => hwProbe(lo)).max
     val hwHi = (0 until 2).map(_ => hwProbe(cpus)).max
 
+    // raw memory-bandwidth ceiling: the BATCH SCORER's traffic pattern —
+    // sequential walks over per-code (docId, contribution) arrays far
+    // larger than shared cache — in plain threads, no Spark. The tokenize
+    // probe is compute-bound and keeps scaling after DRAM bandwidth
+    // saturates; the query job is bandwidth-bound, so its true box ceiling
+    // is THIS probe. Recorded as evidence next to the raw efficiencies
+    // (never used to raise the clamp ceiling).
+    def hwProbeMem(n: Int): Double = {
+      val elems = 3000000 // 48 MB of (Long docId + Double score) per thread
+      val passes = 6
+      val sums = new Array[Double](math.max(n, 1))
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { t =>
+        new Thread(() => {
+          val ds = Array.tabulate(elems)(i => i.toLong * 7)
+          val cs = Array.tabulate(elems)(i => i * 0.5)
+          var acc = 0.0
+          var pass = 0
+          while (pass < passes) {
+            var i = 0
+            while (i < elems) { if ((ds(i) & 2L) == 0L) acc += cs(i); i += 1 }
+            pass += 1
+          }
+          sums(t) = acc
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      require(!sums.exists(_.isNaN)) // keep acc live
+      n.toDouble * passes * elems / ((System.nanoTime() - t0) / 1e9)
+    }
+    hwProbeMem(2) // warm
+
     // HEADLINE N-vs-4N pair at low core counts (2 vs 8): this host's 32
     // vCPUs are oversubscribed above ~8 threads (the raw-thread hw probe
     // scales at only ~0.6 there), so the sub-knee pair is the measurement
@@ -253,7 +285,9 @@ object Bench {
           val r8 = runPhase(8, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
           val hw2 = (0 until 2).map(_ => hwProbe(2)).max
           val hw8 = (0 until 2).map(_ => hwProbe(8)).max
-          (r2, r8, (hw8 / hw2) / 4.0)
+          val hm2 = (0 until 2).map(_ => hwProbeMem(2)).max
+          val hm8 = (0 until 2).map(_ => hwProbeMem(8)).max
+          (r2, r8, (hw8 / hw2) / 4.0, (hm8 / hm2) / 4.0)
         }
         val d2 = reps.map(_._1.buildDps).max; val d8 = reps.map(_._2.buildDps).max
         val q2 = reps.map(_._1.qps).max; val q8 = reps.map(_._2.qps).max
@@ -279,12 +313,16 @@ object Bench {
           val s = xs.sorted
           if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
-        val samples = reps.zipWithIndex.flatMap { case ((r2, r8, ceil), ri) =>
+        val samples = reps.zipWithIndex.flatMap { case ((r2, r8, ceil, memCeil), ri) =>
           Seq(s"build_dps_c2_r$ri" -> r2.buildDps, s"build_dps_c8_r$ri" -> r8.buildDps,
             s"bm25_qps_c2_r$ri" -> r2.qps, s"bm25_qps_c8_r$ri" -> r8.qps,
-            s"hw_ceiling_2to8_r$ri" -> ceil,
+            s"hw_ceiling_2to8_r$ri" -> ceil, s"hw_mem_2to8_r$ri" -> memCeil,
             s"eff_build_raw_r$ri" -> rawB(ri), s"eff_query_raw_r$ri" -> rawQ(ri))
         }
+        // bandwidth-bound box ceiling (evidence, not a clamp): the query
+        // job's raw efficiency should be read against THIS, the probe that
+        // matches its traffic pattern
+        val memCeilBest = reps.map(_._4).max
         Seq(
           "build_docs_per_sec_c2" -> d2, "build_docs_per_sec_c8small" -> d8,
           "bm25_qps_c2" -> q2, "bm25_qps_c8small" -> q8,
@@ -299,6 +337,11 @@ object Bench {
           "scaling_efficiency_build_crosswindow" -> (d8 / d2) / 4.0,
           "scaling_efficiency_query_crosswindow" -> (q8 / q2) / 4.0,
           "hw_ceiling_efficiency_2to8" -> ceilingEst,
+          "hw_mem_ceiling_2to8" -> memCeilBest,
+          "scaling_efficiency_query_vs_mem_ceiling" ->
+            math.min(1.0, median(rawQ.filter(_ <= 1.0) match {
+              case Nil => rawQ; case v => v
+            }) / math.max(memCeilBest, 1e-9)),
           "small_pair_reps" -> smallReps.toDouble,
           "small_pair_docs" -> sDocs.toDouble,
           "small_pair_queries" -> sQueries.toDouble) ++ samples

@@ -319,33 +319,61 @@ object IndexBuilder {
       // postings commit lands once both finish.
       val verifyF = scala.concurrent.Future(verifySingleRowGroup(spark, postingsPath))
       scala.concurrent.Future {
-        // ONE column-pruned job computes every global scalar: total
-        // postings + block count, and N/sumDl decoded from the meta
-        // blocks' dls channel (no separate docmeta aggregate job).
+        // ONE column-pruned job computes every global scalar — total
+        // postings + block count, N/sumDl decoded from the meta blocks'
+        // dls channel (no separate docmeta aggregate job) — AND the
+        // per-FILE lineage metrics (blocks/postings/docs per posting
+        // shard; each file is one build partition's output). The per-file
+        // map is the same cardinality as the manifest's file listing, so
+        // collecting it adds nothing asymptotically at web scale.
         val m = spark.read.parquet(postingsPath)
-          .select($"term", $"nDocs", $"nPostings", $"dls")
-          .as[(String, Int, Long, Array[Byte])]
+          .select($"term", $"nDocs", $"nPostings", $"dls",
+            input_file_name().as("file"))
+          .as[(String, Int, Long, Array[Byte], String)]
+          .rdd
           .mapPartitions { it =>
             var nPost = 0L; var nBlocks = 0L; var nDocs = 0L; var sumDl = 0L
-            it.foreach { case (term, nd, np, dls) =>
+            val perFile = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+            it.foreach { case (term, nd, np, dls, file) =>
               nBlocks += 1
               nPost += np
+              val pf = perFile.getOrElseUpdate(file, new Array[Long](3))
+              pf(0) += 1; pf(1) += np
               if (term == MetaTerm) {
                 nDocs += nd
+                pf(2) += nd
                 val r = new Varint.Reader(dls)
                 var i = 0
                 while (i < nd) { sumDl += r.nextRaw(); i += 1 }
               }
             }
-            Iterator.single((nPost, nBlocks, nDocs, sumDl))
+            Iterator.single((nPost, nBlocks, nDocs, sumDl, perFile.toMap))
           }
-          .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+          .reduce { (a, b) =>
+            val merged = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+            (a._5.iterator ++ b._5.iterator).foreach { case (f, v) =>
+              val t = merged.getOrElseUpdate(f, new Array[Long](3))
+              t(0) += v(0); t(1) += v(1); t(2) += v(2)
+            }
+            (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, merged.toMap)
+          }
         val avgdl = if (m._3 == 0) 1.0 else m._4.toDouble / m._3
+        // per-partition lineage file: one JSON entry per posting shard
+        // (blocks, postings, docs, bytes), vacuumed with its version
+        val bytesOf = listParquetFiles(spark, postingsPath)
+          .map { case (p, len) => p.substring(p.lastIndexOf('/') + 1) -> len }.toMap
+        IndexStore.writeLineage(indexDir, intendedVersion,
+          m._5.map { case (uri, v) =>
+            val name = uri.substring(uri.lastIndexOf('/') + 1)
+            s"$postingsDirName/$name" ->
+              IndexStore.FileMetrics(v(0), v(1), v(2), bytesOf.getOrElse(name, -1L))
+          })
         scala.concurrent.Await.result(verifyF, scala.concurrent.duration.Duration.Inf)
         IndexStore.commitStage(indexDir, IndexStore.StageRecord(
           "postings", sig, m._2, dirBytes(postingsPath),
           Map("totalPostings" -> m._1.toString, "dir" -> postingsDirName,
-            "nDocs" -> m._3.toString, "avgdl" -> avgdl.toString)))
+            "nDocs" -> m._3.toString, "avgdl" -> avgdl.toString,
+            "lineage" -> s"lineage-v$intendedVersion.json")))
         (m._1, m._3, avgdl)
       }
     }
@@ -973,6 +1001,21 @@ object IndexBuilder {
     val docR = new Varint.Reader(b.docDeltas)
     val tfR = new Varint.Reader(b.tfs)
     (0 until b.nDocs).iterator.map(_ => (docR.next(), tfR.nextRaw()))
+  }
+
+  /** Bulk-decode a block's (docId, tf) channels into `ds`/`tfs` starting at
+    * `off`; returns the new offset. No per-posting boxing — the BM25
+    * scorers stream millions of postings per task, and the tuple-iterator
+    * form turned each into two heap allocations (visible as CPU-time
+    * inflation under high parallelism: memory traffic, not arithmetic). */
+  def decodeDocTfsInto(
+      b: PostingBlockRow, ds: Array[Long], tfs: Array[Long], off: Int): Int = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val tfR = new Varint.Reader(b.tfs)
+    var i = off
+    val end = off + b.nDocs
+    while (i < end) { ds(i) = docR.next(); tfs(i) = tfR.nextRaw(); i += 1 }
+    end
   }
 
   /** Decode a dl-strip row into (docId, dl) pairs. */

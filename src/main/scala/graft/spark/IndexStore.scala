@@ -20,6 +20,41 @@ object IndexStore {
       bytes: Long,
       detail: Map[String, String])
 
+  /** Per-partition (= per posting shard file) build metrics: the north
+    * rule's "per-partition lineage + posting-count/bytes metrics". */
+  final case class FileMetrics(blocks: Long, postings: Long, docs: Long, bytes: Long)
+
+  /** Write the per-file lineage for a snapshot version (atomic rename,
+    * like the manifest). One JSON entry per postings file; expired by
+    * `vacuum` together with the version's manifest. */
+  def writeLineage(indexDir: String, version: Int,
+                   metrics: Map[String, FileMetrics]): Unit = {
+    val dir = Paths.get(indexDir)
+    Files.createDirectories(dir)
+    val body = metrics.toSeq.sortBy(_._1).map { case (f, m) =>
+      s"  ${q(f)}: {\"blocks\": ${m.blocks}, \"postings\": ${m.postings}, \"docs\": ${m.docs}, \"bytes\": ${m.bytes}}"
+    }.mkString("{\n", ",\n", "\n}\n")
+    val tmp = dir.resolve(s".lineage-v$version.json.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"lineage-v$version.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a version's per-file lineage metrics (empty if absent). */
+  def readLineage(indexDir: String, version: Int): Map[String, FileMetrics] = {
+    val p = Paths.get(indexDir, s"lineage-v$version.json")
+    if (!Files.exists(p)) return Map.empty
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val entry = java.util.regex.Pattern.compile(
+      "\"([^\"]+)\"\\s*:\\s*\\{\"blocks\": (\\d+), \"postings\": (\\d+), \"docs\": (\\d+), \"bytes\": (-?\\d+)\\}")
+    val m = entry.matcher(txt)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, FileMetrics]
+    while (m.find())
+      out(m.group(1)) = FileMetrics(
+        m.group(2).toLong, m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
+    out.toMap
+  }
+
   final case class Snapshot(
       version: Int,
       nDocs: Long,
@@ -225,7 +260,10 @@ object IndexStore {
     tableRoots.foreach(walk)
     // expire old manifests
     val expired = versions.filterNot(keepV)
-    expired.foreach(v => Files.deleteIfExists(root.resolve(s"manifest-v$v.json")))
+    expired.foreach { v =>
+      Files.deleteIfExists(root.resolve(s"manifest-v$v.json"))
+      Files.deleteIfExists(root.resolve(s"lineage-v$v.json"))
+    }
     // stage markers pointing at vacuumed dirs must not drive a resume
     Seq("doctext", "docmeta", "postings", "termstats").foreach { st =>
       readStageDetail(indexDir, st, "dir").foreach { d =>

@@ -1021,30 +1021,33 @@ final class SparkSearcher(
       .filter($"term".isin(allCodes :+ IndexBuilder.DlStripTerm: _*))
       .rdd
       .mapPartitions { blocks =>
-        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[(Long, Long)]]
+        // buffer block REFS per term (a handful of rows each), then
+        // bulk-decode into exactly-sized primitive arrays — zero boxed
+        // postings, which is what keeps this stage's CPU flat as
+        // parallelism rises (the tuple-buffer form inflated CPU ~35% at
+        // 8 threads from allocation/memory traffic alone)
+        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlockRow]]
         val dlOf = mutable.LongMap.empty[Long]
         blocks.foreach { b =>
           if (b.term == IndexBuilder.DlStripTerm)
             IndexBuilder.decodeDlStrip(b).foreach { case (d, dl) => dlOf(d) = dl }
-          else {
-            val buf = byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty)
-            IndexBuilder.decodeDocTfs(b).foreach(buf += _)
-          }
+          else byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
         }
         val qs = qIdfB.value.toArray
         // per-code contribution arrays (docId asc — block order within a
         // term is ascending by the index invariant; guarded below)
         val contrib = mutable.HashMap.empty[String, (Array[Long], Array[Double])]
-        byTerm.foreach { case (code, buf) =>
-          val n = buf.length
+        byTerm.foreach { case (code, bs) =>
+          val sorted = if (bs.length > 1) bs.sortBy(_.firstDocId) else bs
+          var n = 0
+          sorted.foreach(n += _.nDocs)
           val ds = new Array[Long](n)
           val tf = new Array[Long](n)
-          var i = 0
+          var off = 0
+          sorted.foreach(b => off = IndexBuilder.decodeDocTfsInto(b, ds, tf, off))
           var asc = true
-          buf.foreach { case (d, t) =>
-            if (i > 0 && d <= ds(i - 1)) asc = false
-            ds(i) = d; tf(i) = t; i += 1
-          }
+          var i = 1
+          while (i < n) { if (ds(i) <= ds(i - 1)) asc = false; i += 1 }
           if (!asc) { // defensive: restore the invariant rather than mis-merge
             val idx = Array.range(0, n).sortBy(ds(_))
             val ds2 = idx.map(ds(_)); val tf2 = idx.map(tf(_))
@@ -1181,11 +1184,22 @@ final class SparkSearcher(
           else byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
         }
         val scores = mutable.LongMap.empty[Double]
+        // scratch buffers reused across blocks: bulk primitive decode, no
+        // per-posting tuple allocation (same rationale as the batch scorer)
+        var sd = Array.emptyLongArray
+        var st = Array.emptyLongArray
         cB.value.foreach { case (code, cIdf) =>
           byTerm.get(code).foreach(_.foreach { b =>
-            IndexBuilder.decodeDocTfs(b).foreach { case (d, tf) =>
+            if (sd.length < b.nDocs) {
+              sd = new Array[Long](b.nDocs); st = new Array[Long](b.nDocs)
+            }
+            IndexBuilder.decodeDocTfsInto(b, sd, st, 0)
+            var i = 0
+            while (i < b.nDocs) {
+              val d = sd(i)
               scores(d) = scores.getOrElse(d, 0.0) +
-                cIdf * Ranker.bm25TfNorm(tf, dlOf.getOrElse(d, 1L), ad)
+                cIdf * Ranker.bm25TfNorm(st(i), dlOf.getOrElse(d, 1L), ad)
+              i += 1
             }
           })
         }

@@ -26,6 +26,21 @@ class SnapshotSpec extends AnyFunSuite {
       IndexBuilder.BuildConfig(bucketBits = 4, sourceName = "webA"))
     assert(IndexStore.currentVersion(dir).contains(1))
 
+    // per-partition lineage: one entry per postings file, sums match the
+    // committed stage totals, bytes are real file sizes
+    locally {
+      val lin = IndexStore.readLineage(dir, 1)
+      assert(lin.nonEmpty, "lineage-v1.json missing or empty")
+      val totalPostings =
+        IndexStore.readStageDetail(dir, "postings", "totalPostings").get.toLong
+      val nDocs = IndexStore.readStageDetail(dir, "postings", "nDocs").get.toLong
+      assert(lin.values.map(_.postings).sum == totalPostings,
+        s"lineage postings ${lin.values.map(_.postings).sum} != $totalPostings")
+      assert(lin.values.map(_.docs).sum == nDocs)
+      assert(lin.values.forall(_.bytes > 0), "lineage bytes must be real sizes")
+      lin.keys.foreach(f => assert(new java.io.File(s"$dir/$f").exists(), s"$f listed but absent"))
+    }
+
     // v2: full REBUILD from a different corpus (different config → new
     // lineage); must not touch v1's files
     IndexBuilder.build(spark, PagesGen.pages(spark, 60, parts = 2).toDF(), dir,
@@ -46,6 +61,7 @@ class SnapshotSpec extends AnyFunSuite {
     assert(expired == 1, s"expired $expired")
     assert(deleted > 0, "vacuum deleted nothing")
     assert(IndexStore.readSnapshot(dir, Some(1)).isEmpty, "v1 manifest must be gone")
+    assert(IndexStore.readLineage(dir, 1).isEmpty, "v1 lineage must be vacuumed")
     assert(!new java.io.File(s"$dir/doctext/build-v1").exists(), "v1 doctext dir must be gone")
 
     // the current snapshot is untouched and fully functional
