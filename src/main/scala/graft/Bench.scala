@@ -250,7 +250,7 @@ object Bench {
     // query batch amortize the fixed per-job costs that would otherwise
     // read as scaling loss; 3 interleaved reps, best-of, per-rep samples
     // reported as evidence.
-    val smallReps = sys.env.getOrElse("GRAFT_BENCH_SMALL_REPS", "5").toInt
+    val smallReps = sys.env.getOrElse("GRAFT_BENCH_SMALL_REPS", "7").toInt
     val headlinePair: Seq[(String, Double)] =
       if (sys.env.get("GRAFT_BENCH_SMALL_PAIR").contains("0") || cpus < 8) Nil
       else {

@@ -1024,4 +1024,23 @@ object IndexBuilder {
     val dlR = new Varint.Reader(b.dls)
     (0 until b.nDocs).iterator.map(_ => (docR.next(), dlR.nextRaw()))
   }
+
+  /** Visit a block's docIds only — skips the tf channel entirely and
+    * allocates nothing per posting. The presence prescreens of the query
+    * paths only need membership, and Function1[Long, Unit] is @specialized,
+    * so this is a zero-boxing walk. */
+  def foreachDocId(b: PostingBlockRow)(f: Long => Unit): Unit = {
+    val docR = new Varint.Reader(b.docDeltas)
+    var i = 0
+    while (i < b.nDocs) { f(docR.next()); i += 1 }
+  }
+
+  /** Visit a dl strip's (docId, dl) pairs without per-doc boxing
+    * (Function2[Long, Long, Unit] is @specialized). */
+  def foreachDlStrip(b: PostingBlockRow)(f: (Long, Long) => Unit): Unit = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val dlR = new Varint.Reader(b.dls)
+    var i = 0
+    while (i < b.nDocs) { f(docR.next(), dlR.nextRaw()); i += 1 }
+  }
 }

@@ -354,9 +354,8 @@ final class SparkSearcher(
       if (!wantInfo) {
         val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
         rows.foreach { b =>
-          IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
-            present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
-          }
+          IndexBuilder.foreachDocId(b)(d =>
+            present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term)
         }
         val want: Long => Boolean =
           d => present.get(d).exists(ts => q.canMatch(ts.contains))
@@ -583,9 +582,8 @@ final class SparkSearcher(
         // presence pass: (docId, tf) only — position bytes untouched
         val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
         rows.foreach { b =>
-          IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
-            present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
-          }
+          IndexBuilder.foreachDocId(b)(d =>
+            present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term)
         }
         // which queries can each doc possibly satisfy (presence algebra)?
         present.foreach { case (d, ts) =>
@@ -721,9 +719,8 @@ final class SparkSearcher(
           // position chains decoded
           val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
           rows.foreach { b =>
-            IndexBuilder.decodeDocTfs(b).foreach { case (d, _) =>
-              present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term
-            }
+            IndexBuilder.foreachDocId(b)(d =>
+              present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term)
           }
           def canField(qi: Int, ts: mutable.HashSet[String]): Boolean = {
             val q = ps(qi)
@@ -1030,7 +1027,7 @@ final class SparkSearcher(
         val dlOf = mutable.LongMap.empty[Long]
         blocks.foreach { b =>
           if (b.term == IndexBuilder.DlStripTerm)
-            IndexBuilder.decodeDlStrip(b).foreach { case (d, dl) => dlOf(d) = dl }
+            IndexBuilder.foreachDlStrip(b)((d, dl) => dlOf(d) = dl)
           else byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
         }
         val qs = qIdfB.value.toArray
@@ -1180,7 +1177,7 @@ final class SparkSearcher(
         val dlOf = mutable.LongMap.empty[Long]
         blocks.foreach { b =>
           if (b.term == IndexBuilder.DlStripTerm)
-            IndexBuilder.decodeDlStrip(b).foreach { case (d, dl) => dlOf(d) = dl }
+            IndexBuilder.foreachDlStrip(b)((d, dl) => dlOf(d) = dl)
           else byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
         }
         val scores = mutable.LongMap.empty[Double]
