@@ -944,6 +944,56 @@ final class SparkSearcher(
     throw new IllegalStateException("unreachable")
   }
 
+  /** mergeTopK over partition-relative Int docIds (all arrays share
+    * `base`): identical algorithm, 4-byte id stream. Emits global Long
+    * docIds; scores accumulate in the same array order, so results are
+    * bit-identical to the Long path. */
+  private def mergeTopKInt(
+      arrs: Array[(Array[Int], Array[Double])], base: Long,
+      k: Int): (Array[Long], Array[Double]) = {
+    val m = arrs.length
+    val pos = new Array[Int](m)
+    val ds = new Array[Long](k)
+    val ss = new Array[Double](k)
+    var n = 0
+    while (true) {
+      var d = Int.MaxValue
+      var hit = false
+      var a = 0
+      while (a < m) {
+        val p = pos(a)
+        if (p < arrs(a)._1.length && arrs(a)._1(p) <= d) {
+          if (arrs(a)._1(p) < d) { d = arrs(a)._1(p); hit = true }
+          else hit = true
+        }
+        a += 1
+      }
+      if (!hit) {
+        return (ds.take(n), ss.take(n))
+      }
+      var s = 0.0
+      a = 0
+      while (a < m) {
+        val p = pos(a)
+        if (p < arrs(a)._1.length && arrs(a)._1(p) == d) {
+          s += arrs(a)._2(p)
+          pos(a) = p + 1
+        }
+        a += 1
+      }
+      val dg = base + d
+      if (n < k || s > ss(n - 1) || (s == ss(n - 1) && dg < ds(n - 1))) {
+        var i = if (n < k) n else k - 1
+        while (i > 0 && (ss(i - 1) < s || (ss(i - 1) == s && ds(i - 1) > dg))) {
+          ds(i) = ds(i - 1); ss(i) = ss(i - 1); i -= 1
+        }
+        ds(i) = dg; ss(i) = s
+        if (n < k) n += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Two-pointer merge of two per-query top-k lists, each sorted by
     * (score desc, docId asc); keeps the best k. A doc is scored in exactly
     * one shard, so entries never collide and scores stay bit-identical. */
@@ -1025,21 +1075,40 @@ final class SparkSearcher(
         // 8 threads from allocation/memory traffic alone)
         val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlockRow]]
         val dlOf = mutable.LongMap.empty[Long]
+        var minDoc = Long.MaxValue
+        var maxDoc = Long.MinValue
         blocks.foreach { b =>
           if (b.term == IndexBuilder.DlStripTerm)
-            IndexBuilder.foreachDlStrip(b)((d, dl) => dlOf(d) = dl)
+            IndexBuilder.foreachDlStrip(b) { (d, dl) =>
+              dlOf(d) = dl
+              if (d < minDoc) minDoc = d
+              if (d > maxDoc) maxDoc = d
+            }
           else byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
         }
         val qs = qIdfB.value.toArray
+        // Contribution docIds are stored PARTITION-RELATIVE as Ints when
+        // the shard's docId span fits (the dl strips cover every doc of
+        // the shard, so [minDoc, maxDoc] bounds every posting): the merge
+        // phase re-walks these arrays once per (query, code) and is the
+        // batch's main memory traffic — 4-byte ids cut it 25%, which is
+        // what the oversubscribed legs are starved of. A shard spanning
+        // > 2^31 docIds (pathologically few partitions at 10^12 docs)
+        // falls back to the Long merge.
+        val base = if (minDoc == Long.MaxValue) 0L else minDoc
+        val intOk = maxDoc - base <= Int.MaxValue.toLong
         // per-code contribution arrays (docId asc — block order within a
         // term is ascending by the index invariant; guarded below)
-        val contrib = mutable.HashMap.empty[String, (Array[Long], Array[Double])]
+        val contribI = mutable.HashMap.empty[String, (Array[Int], Array[Double])]
+        val contribL = mutable.HashMap.empty[String, (Array[Long], Array[Double])]
+        // scratch decode buffers reused across codes
+        var ds = Array.emptyLongArray
+        var tf = Array.emptyLongArray
         byTerm.foreach { case (code, bs) =>
           val sorted = if (bs.length > 1) bs.sortBy(_.firstDocId) else bs
           var n = 0
           sorted.foreach(n += _.nDocs)
-          val ds = new Array[Long](n)
-          val tf = new Array[Long](n)
+          if (ds.length < n) { ds = new Array[Long](n); tf = new Array[Long](n) }
           var off = 0
           sorted.foreach(b => off = IndexBuilder.decodeDocTfsInto(b, ds, tf, off))
           var asc = true
@@ -1057,13 +1126,23 @@ final class SparkSearcher(
             cs(i) = cIdf * Ranker.bm25TfNorm(tf(i), dlOf.getOrElse(ds(i), 1L), ad)
             i += 1
           }
-          contrib(code) = (ds, cs)
+          if (intOk) {
+            val di = new Array[Int](n)
+            i = 0
+            while (i < n) { di(i) = (ds(i) - base).toInt; i += 1 }
+            contribI(code) = (di, cs)
+          } else contribL(code) = (java.util.Arrays.copyOf(ds, n), cs)
         }
         val tops = new Array[(Array[Long], Array[Double])](qs.length)
         var qi = 0
         while (qi < qs.length) {
-          val arrs = qs(qi).iterator.map(_._1).flatMap(contrib.get).toArray
-          if (arrs.nonEmpty) tops(qi) = mergeTopK(arrs, k)
+          if (intOk) {
+            val arrs = qs(qi).iterator.map(_._1).flatMap(contribI.get).toArray
+            if (arrs.nonEmpty) tops(qi) = mergeTopKInt(arrs, base, k)
+          } else {
+            val arrs = qs(qi).iterator.map(_._1).flatMap(contribL.get).toArray
+            if (arrs.nonEmpty) tops(qi) = mergeTopK(arrs, k)
+          }
           qi += 1
         }
         Iterator.single(tops)
