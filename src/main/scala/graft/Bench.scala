@@ -150,7 +150,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lo = math.max(1, cpus / 4)
     val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "200000").toLong
-    val nQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "1000").toInt
+    // 16k queries: the MaxScore batch merge made 1k queries a sub-second
+    // phase at 32 cores — too short for a throughput read (driver fixed
+    // costs and task launch dominate). Batch size rides in the record.
+    val nQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "16000").toInt
 
     // corpus: generated once, both phases read the same parquet
     val corpusPath = s"${sys.props("java.io.tmpdir")}/graft-bench-corpus-$nDocs"
@@ -265,7 +268,11 @@ object Bench {
         // fixed cost (sampler/count jobs, commit+verify tail) visible as
         // ~0.05-0.08 of scaling loss; throughput is a saturation metric.
         val sDocs = sys.env.getOrElse("GRAFT_BENCH_SMALL_DOCS", "400000").toLong
-        val sQueries = nQueries * 12
+        // 48k queries: post-MaxScore the per-query merge is cheap enough
+        // that a 12k batch finished in ~1 s at c8 — below saturation, so
+        // the per-batch fixed scan read as scaling loss. A throughput
+        // metric is measured in the saturation regime.
+        val sQueries = sys.env.getOrElse("GRAFT_BENCH_SMALL_QUERIES", "48000").toInt
         val sPath = s"${sys.props("java.io.tmpdir")}/graft-bench-corpus-$sDocs"
         if (!new java.io.File(sPath + "/_SUCCESS").exists()) {
           val s = newSession(cpus)

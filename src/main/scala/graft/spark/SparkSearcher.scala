@@ -944,27 +944,68 @@ final class SparkSearcher(
     throw new IllegalStateException("unreachable")
   }
 
-  /** mergeTopK over partition-relative Int docIds (all arrays share
-    * `base`): identical algorithm, 4-byte id stream. Emits global Long
-    * docIds; scores accumulate in the same array order, so results are
-    * bit-identical to the Long path. */
+  /** First index >= `d` in ids[from..), by exponential then binary search.
+    * Non-essential cursors in the MaxScore merge advance only through here,
+    * so a code probed for few candidates costs O(log gap), not O(df). */
+  @inline private def gallopTo(ids: Array[Int], from: Int, d: Int): Int = {
+    var lo = from
+    if (lo >= ids.length || ids(lo) >= d) return lo
+    var step = 1
+    var hi = lo + 1
+    while (hi < ids.length && ids(hi) < d) { lo = hi; hi = lo + step; step <<= 1 }
+    if (hi > ids.length) hi = ids.length
+    var l = lo + 1
+    var h = hi
+    while (l < h) { val mid = (l + h) >>> 1; if (ids(mid) < d) l = mid + 1 else h = mid }
+    l
+  }
+
+  /** MaxScore top-k merge over partition-relative Int docId contribution
+    * arrays (ids, contribs, maxContrib), all sharing `base`.
+    *
+    * Codes are ranked by max contribution; once the running k-th score
+    * (floor) exceeds an upper bound on everything the lowest-impact codes
+    * can sum to, those codes stop generating candidates — docs found ONLY
+    * in them provably score under the floor. Candidates come from the
+    * essential cursors' docId pointer walk; non-essential arrays are
+    * probed by gallop. With Zipf workloads (hot codes = high df = LOW
+    * idf·maxTfNorm) this turns the per-query walk of a hot code's ~every-
+    * doc array into O(rare-df·log) probes — the batch merge was 86% of
+    * scoring CPU and pure memory traffic, the resource the oversubscribed
+    * legs are starved of.
+    *
+    * EXACTNESS: results are bit-identical to the plain merge. A doc is
+    * skipped only when bound < floor with bound = fl(Σ maxContrib)·(1+1e-9)
+    * over the non-essential codes — the slack dominates any float
+    * summation-order error (≤ m·ε ≈ 1e-15), so every skipped doc's float
+    * score is strictly under the floor and could neither enter the top-k
+    * nor win a docId tie-break. Surviving docs accumulate contributions in
+    * the caller's array order (sorted-code order), unchanged. */
   private def mergeTopKInt(
-      arrs: Array[(Array[Int], Array[Double])], base: Long,
+      arrs: Array[(Array[Int], Array[Double], Double)], base: Long,
       k: Int): (Array[Long], Array[Double]) = {
     val m = arrs.length
     val pos = new Array[Int](m)
     val ds = new Array[Long](k)
     val ss = new Array[Double](k)
     var n = 0
+    // codes by max contribution ascending; bound(t) ≥ any achievable float
+    // score of a doc whose contributions all come from ord[0..t-1]
+    val ord = Array.range(0, m).sortBy(arrs(_)._3)
+    val bound = new Array[Double](m + 1)
+    var bi = 0
+    var acc = 0.0
+    while (bi < m) { acc += arrs(ord(bi))._3; bound(bi + 1) = acc * (1 + 1e-9); bi += 1 }
+    val nonEss = new Array[Boolean](m)
+    var ness = 0 // ord[0..ness-1] are non-essential
     while (true) {
       var d = Int.MaxValue
       var hit = false
       var a = 0
       while (a < m) {
-        val p = pos(a)
-        if (p < arrs(a)._1.length && arrs(a)._1(p) <= d) {
-          if (arrs(a)._1(p) < d) { d = arrs(a)._1(p); hit = true }
-          else hit = true
+        if (!nonEss(a)) {
+          val p = pos(a)
+          if (p < arrs(a)._1.length && arrs(a)._1(p) <= d) { d = arrs(a)._1(p); hit = true }
         }
         a += 1
       }
@@ -974,10 +1015,14 @@ final class SparkSearcher(
       var s = 0.0
       a = 0
       while (a < m) {
-        val p = pos(a)
-        if (p < arrs(a)._1.length && arrs(a)._1(p) == d) {
-          s += arrs(a)._2(p)
-          pos(a) = p + 1
+        val ids = arrs(a)._1
+        if (nonEss(a)) {
+          val np = gallopTo(ids, pos(a), d)
+          if (np < ids.length && ids(np) == d) { s += arrs(a)._2(np); pos(a) = np + 1 }
+          else pos(a) = np
+        } else {
+          val p = pos(a)
+          if (p < ids.length && ids(p) == d) { s += arrs(a)._2(p); pos(a) = p + 1 }
         }
         a += 1
       }
@@ -989,32 +1034,54 @@ final class SparkSearcher(
         }
         ds(i) = dg; ss(i) = s
         if (n < k) n += 1
+        if (n == k) {
+          val floor = ss(k - 1)
+          while (ness < m && bound(ness + 1) < floor) { nonEss(ord(ness)) = true; ness += 1 }
+        }
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** Two-pointer merge of two per-query top-k lists, each sorted by
-    * (score desc, docId asc); keeps the best k. A doc is scored in exactly
-    * one shard, so entries never collide and scores stay bit-identical. */
-  private def mergePairTopK(
-      a: (Array[Long], Array[Double]),
-      b: (Array[Long], Array[Double]), k: Int): (Array[Long], Array[Double]) = {
-    if (a == null) return b
-    if (b == null) return a
-    val n = math.min(k, a._1.length + b._1.length)
-    val ds = new Array[Long](n)
-    val ss = new Array[Double](n)
-    var i = 0; var j = 0; var o = 0
-    while (o < n) {
-      val takeA =
-        j >= b._1.length || (i < a._1.length &&
-          (a._2(i) > b._2(j) || (a._2(i) == b._2(j) && a._1(i) < b._1(j))))
-      if (takeA) { ds(o) = a._1(i); ss(o) = a._2(i); i += 1 }
-      else { ds(o) = b._1(j); ss(o) = b._2(j); j += 1 }
-      o += 1
+  /** Flat Q×(≤k) top-k partials: query q's `counts(q)` entries sit
+    * contiguously in (ids, scores) at offset Σ counts(0..q-1). One struct
+    * of three primitive arrays per task — the tuple-of-small-arrays form
+    * (Q tuples, 2Q tiny arrays) made Java serialization of the treeReduce
+    * partials a serial tail that grew with the batch size. */
+  final case class FlatTopK(counts: Array[Int], ids: Array[Long], scores: Array[Double])
+
+  /** Per-query two-pointer merge of two flat partials (each query's list
+    * sorted by score desc, docId asc; keep best k). Docs are scored in
+    * exactly one shard, so entries never collide — scores bit-identical. */
+  private def mergeFlatTopK(x: FlatTopK, y: FlatTopK, k: Int): FlatTopK = {
+    val q = x.counts.length
+    val counts = new Array[Int](q)
+    var total = 0
+    var qi = 0
+    while (qi < q) {
+      val c = math.min(k, x.counts(qi) + y.counts(qi))
+      counts(qi) = c; total += c; qi += 1
     }
-    (ds, ss)
+    val ids = new Array[Long](total)
+    val ss = new Array[Double](total)
+    var xo = 0; var yo = 0; var o = 0
+    qi = 0
+    while (qi < q) {
+      val xe = xo + x.counts(qi)
+      val ye = yo + y.counts(qi)
+      var i = xo; var j = yo
+      val oe = o + counts(qi)
+      while (o < oe) {
+        val takeX = j >= ye || (i < xe &&
+          (x.scores(i) > y.scores(j) ||
+            (x.scores(i) == y.scores(j) && x.ids(i) < y.ids(j))))
+        if (takeX) { ids(o) = x.ids(i); ss(o) = x.scores(i); i += 1 }
+        else { ids(o) = y.ids(j); ss(o) = y.scores(j); j += 1 }
+        o += 1
+      }
+      xo = xe; yo = ye; qi += 1
+    }
+    FlatTopK(counts, ids, ss)
   }
 
   /** Resolve many bag-of-words queries with ONE dictionary round-trip. */
@@ -1045,7 +1112,16 @@ final class SparkSearcher(
     val dfs = dfOf(allCodes)
     mark("dfOf")
     val idf = allCodes.map(c => c -> Ranker.bm25Idf(nDocs, dfs.getOrElse(c, 0L))).toMap
-    val qIdf: Seq[Seq[(String, Double)]] = qCodes.map(_.map(c => c -> idf(c)))
+    // Identical resolved code-sets score identically (codes are sorted, the
+    // merge is deterministic): evaluate each DISTINCT set once per
+    // partition, fan results back out at the driver. Zipf batches repeat
+    // hot combinations, so this cuts the per-partition merge loop, the
+    // broadcast, and the treeReduce partial size for free.
+    val distinctCodes: IndexedSeq[Seq[String]] = qCodes.distinct.toIndexedSeq
+    val slotOf: Map[Seq[String], Int] = distinctCodes.zipWithIndex.toMap
+    val qSlot: Seq[Int] = qCodes.map(slotOf)
+    val qIdf: IndexedSeq[Seq[(String, Double)]] =
+      distinctCodes.map(_.map(c => c -> idf(c)))
     val qIdfB = spark.sparkContext.broadcast(qIdf)
     val idfB = spark.sparkContext.broadcast(idf)
     val ad = avgdl
@@ -1064,10 +1140,17 @@ final class SparkSearcher(
     // Per-doc accumulation order stays the sorted-code order (arrays are
     // visited in qCodes order, which resolveQueryCodesBatch sorts), so
     // scores remain bit-identical to the sequential reference scorer.
-    val perBucket: org.apache.spark.rdd.RDD[Array[(Array[Long], Array[Double])]] = postings
+    val perBucket: org.apache.spark.rdd.RDD[FlatTopK] = postings
       .filter($"term".isin(allCodes :+ IndexBuilder.DlStripTerm: _*))
       .rdd
       .mapPartitions { blocks =>
+        val tTiming = sys.env.contains("GRAFT_TIMING")
+        var tPhase = System.nanoTime()
+        def phaseMark(s: String): Unit = if (tTiming) {
+          val now = System.nanoTime()
+          System.err.println(f"[graft-timing] bm25part $s: ${(now - tPhase) / 1e9}%.3fs")
+          tPhase = now
+        }
         // buffer block REFS per term (a handful of rows each), then
         // bulk-decode into exactly-sized primitive arrays — zero boxed
         // postings, which is what keeps this stage's CPU flat as
@@ -1086,6 +1169,7 @@ final class SparkSearcher(
             }
           else byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
         }
+        phaseMark("scan")
         val qs = qIdfB.value.toArray
         // Contribution docIds are stored PARTITION-RELATIVE as Ints when
         // the shard's docId span fits (the dl strips cover every doc of
@@ -1098,8 +1182,9 @@ final class SparkSearcher(
         val base = if (minDoc == Long.MaxValue) 0L else minDoc
         val intOk = maxDoc - base <= Int.MaxValue.toLong
         // per-code contribution arrays (docId asc — block order within a
-        // term is ascending by the index invariant; guarded below)
-        val contribI = mutable.HashMap.empty[String, (Array[Int], Array[Double])]
+        // term is ascending by the index invariant; guarded below); the Int
+        // form also carries the code's max contribution for MaxScore skips
+        val contribI = mutable.HashMap.empty[String, (Array[Int], Array[Double], Double)]
         val contribL = mutable.HashMap.empty[String, (Array[Long], Array[Double])]
         // scratch decode buffers reused across codes
         var ds = Array.emptyLongArray
@@ -1121,18 +1206,22 @@ final class SparkSearcher(
           }
           val cIdf = idfB.value(code)
           val cs = new Array[Double](n)
+          var cMax = 0.0
           i = 0
           while (i < n) {
-            cs(i) = cIdf * Ranker.bm25TfNorm(tf(i), dlOf.getOrElse(ds(i), 1L), ad)
+            val c = cIdf * Ranker.bm25TfNorm(tf(i), dlOf.getOrElse(ds(i), 1L), ad)
+            cs(i) = c
+            if (c > cMax) cMax = c
             i += 1
           }
           if (intOk) {
             val di = new Array[Int](n)
             i = 0
             while (i < n) { di(i) = (ds(i) - base).toInt; i += 1 }
-            contribI(code) = (di, cs)
+            contribI(code) = (di, cs, cMax)
           } else contribL(code) = (java.util.Arrays.copyOf(ds, n), cs)
         }
+        phaseMark("contrib")
         val tops = new Array[(Array[Long], Array[Double])](qs.length)
         var qi = 0
         while (qi < qs.length) {
@@ -1145,7 +1234,29 @@ final class SparkSearcher(
           }
           qi += 1
         }
-        Iterator.single(tops)
+        // flatten to one primitive-array struct for the treeReduce exchange
+        val counts = new Array[Int](qs.length)
+        var total = 0
+        qi = 0
+        while (qi < qs.length) {
+          if (tops(qi) != null) { counts(qi) = tops(qi)._1.length; total += counts(qi) }
+          qi += 1
+        }
+        val fIds = new Array[Long](total)
+        val fSs = new Array[Double](total)
+        var o = 0
+        qi = 0
+        while (qi < qs.length) {
+          val t = tops(qi)
+          if (t != null) {
+            System.arraycopy(t._1, 0, fIds, o, t._1.length)
+            System.arraycopy(t._2, 0, fSs, o, t._2.length)
+            o += t._1.length
+          }
+          qi += 1
+        }
+        phaseMark("merge")
+        Iterator.single(FlatTopK(counts, fIds, fSs))
       }
 
     // two-level merge: per-task top-k (above) → treeReduce over the
@@ -1156,19 +1267,23 @@ final class SparkSearcher(
     // fully scored within their shard, so merging picks max entries with
     // no re-accumulation and scores stay bit-identical.
     val kk = k
-    val merged: Array[(Array[Long], Array[Double])] =
-      if (perBucket.getNumPartitions == 0) Array.fill(queries.length)(null)
-      else perBucket.treeReduce({ (x, y) =>
-        val out = new Array[(Array[Long], Array[Double])](x.length)
-        var qi = 0
-        while (qi < x.length) { out(qi) = mergePairTopK(x(qi), y(qi), kk); qi += 1 }
-        out
-      }, depth = 2)
+    val merged: FlatTopK =
+      if (perBucket.getNumPartitions == 0)
+        FlatTopK(new Array[Int](distinctCodes.length), Array.emptyLongArray,
+          Array.emptyDoubleArray)
+      else perBucket.treeReduce(mergeFlatTopK(_, _, kk), depth = 2)
     mark("scoreJob")
-    merged.iterator.map { t =>
-      if (t == null) Seq.empty[(Long, Double)]
-      else t._1.indices.map(i => (t._1(i), t._2(i)))
-    }.toSeq
+    val perSlot = new Array[Seq[(Long, Double)]](distinctCodes.length)
+    var off = 0
+    var si = 0
+    while (si < perSlot.length) {
+      val c = merged.counts(si)
+      val o0 = off
+      perSlot(si) = (0 until c).map(i => (merged.ids(o0 + i), merged.scores(o0 + i)))
+      off += c
+      si += 1
+    }
+    qSlot.map(perSlot)
   }
 
   /** Single-query exact top-k with two-phase block-max WAND: phase 1 scores

@@ -195,6 +195,35 @@ class SparkIdentitySpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 batch MaxScore merge: 300 randomized queries bit-identical to reference") {
+    // Stress the skip machinery: hot+rare mixes (non-essential demotion +
+    // gallop probes), all-hot (no demotion), duplicates (dedup fan-out),
+    // singletons, unknown words, and k larger than some result sets.
+    val rnd = new scala.util.Random(20260817)
+    val hot = Seq("old", "lady", "tupman", "merriment", "laughter", "game")
+    def vocab(i: Int) = PagesGen.vocabWord(i)
+    val queries: Seq[Seq[String]] = (0 until 300).map { i =>
+      i % 6 match {
+        case 0 => Seq(hot(rnd.nextInt(hot.length)), vocab(rnd.nextInt(500)))
+        case 1 => Seq(hot(rnd.nextInt(hot.length)), hot(rnd.nextInt(hot.length)))
+        case 2 => Seq(vocab(rnd.nextInt(100)), vocab(100 + rnd.nextInt(900)),
+          hot(rnd.nextInt(hot.length)))
+        case 3 => Seq(vocab(rnd.nextInt(1000)))
+        case 4 => Seq("old", "lady") // repeated — exercises the dedup path
+        case _ => Seq(hot(rnd.nextInt(hot.length)), "zzznosuchword",
+          vocab(rnd.nextInt(1000)))
+      }
+    }
+    Seq(3, 10, 50).foreach { k =>
+      val batch = searcher.bm25TopKBatch(queries, k)
+      assert(batch.length == queries.length)
+      queries.zipWithIndex.foreach { case (q, i) =>
+        val ref = mem.bm25TopK(q, k)
+        assert(batch(i) == ref, s"k=$k [${q.mkString(" ")}]:\n${batch(i).take(5)}\nvs\n${ref.take(5)}")
+      }
+    }
+  }
+
   test("build is resumable: second run skips all stages, results unchanged") {
     indexDir // force first build
     val pages = PagesGen.pages(spark, nDocsCorpus, parts = 7)
