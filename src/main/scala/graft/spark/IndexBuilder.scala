@@ -1018,6 +1018,25 @@ object IndexBuilder {
     end
   }
 
+  /** Bulk-decode variant over the column-pruned [[graft.spark.BmBlockRow]]. */
+  def decodeDocTfsInto(
+      b: BmBlockRow, ds: Array[Long], tfs: Array[Long], off: Int): Int = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val tfR = new Varint.Reader(b.tfs)
+    var i = off
+    val end = off + b.nDocs
+    while (i < end) { ds(i) = docR.next(); tfs(i) = tfR.nextRaw(); i += 1 }
+    end
+  }
+
+  /** Dl-strip walk over the column-pruned [[graft.spark.BmBlockRow]]. */
+  def foreachDlStrip(b: BmBlockRow)(f: (Long, Long) => Unit): Unit = {
+    val docR = new Varint.Reader(b.docDeltas)
+    val dlR = new Varint.Reader(b.dls)
+    var i = 0
+    while (i < b.nDocs) { f(docR.next(), dlR.nextRaw()); i += 1 }
+  }
+
   /** Decode a dl-strip row into (docId, dl) pairs. */
   def decodeDlStrip(b: PostingBlockRow): Iterator[(Long, Long)] = {
     val docR = new Varint.Reader(b.docDeltas)

@@ -79,6 +79,18 @@ final case class PostingBlockRow(
     maxTf: Long,
     minDl: Long)
 
+/** Column-pruned posting block for the BM25 batch scorer: positions
+  * (`posDeltas`, the widest column of the postings table) and the WAND
+  * metadata are never read — Parquet skips those pages entirely, which
+  * roughly halves the batch scan's I/O and decode traffic. */
+final case class BmBlockRow(
+    term: String,
+    firstDocId: Long,
+    nDocs: Int,
+    docDeltas: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte])
+
 /** Term dictionary entry (df = doc freq, cf = collection freq). */
 final case class TermStatRow(term: String, df: Long, cf: Long)
 

@@ -1117,7 +1117,21 @@ final class SparkSearcher(
     // partition, fan results back out at the driver. Zipf batches repeat
     // hot combinations, so this cuts the per-partition merge loop, the
     // broadcast, and the treeReduce partial size for free.
-    val distinctCodes: IndexedSeq[Seq[String]] = qCodes.distinct.toIndexedSeq
+    // Evaluation-order locality: the per-partition merge loop walks each
+    // slot's contribution arrays in slot order, and with a Zipf batch the
+    // SAME hot/mid codes recur across thousands of slots — but in arrival
+    // order two adjacent slots rarely share a code, so every merge streams
+    // its arrays from DRAM. Sorting the distinct slots by their code sets
+    // (hottest/largest code first — df is known driver-side) makes adjacent
+    // slots revisit the same arrays while they are still cache-resident.
+    // Order of evaluation is free: results fan back out via slotOf/qSlot.
+    val distinctCodes: IndexedSeq[Seq[String]] = {
+      val dfsLocal = dfs
+      qCodes.distinct.sortBy { cs =>
+        cs.map(c => f"${Long.MaxValue - dfsLocal.getOrElse(c, 0L)}%019d $c")
+          .sorted.mkString("")
+      }.toIndexedSeq
+    }
     val slotOf: Map[Seq[String], Int] = distinctCodes.zipWithIndex.toMap
     val qSlot: Seq[Int] = qCodes.map(slotOf)
     val qIdf: IndexedSeq[Seq[(String, Double)]] =
@@ -1140,10 +1154,36 @@ final class SparkSearcher(
     // Per-doc accumulation order stays the sorted-code order (arrays are
     // visited in qCodes order, which resolveQueryCodesBatch sorts), so
     // scores remain bit-identical to the sequential reference scorer.
-    val perBucket: org.apache.spark.rdd.RDD[FlatTopK] = postings
-      .filter($"term".isin(allCodes :+ IndexBuilder.DlStripTerm: _*))
-      .rdd
-      .mapPartitions { blocks =>
+    // The scan plan is LITERAL-FREE and COLUMN-PRUNED, on purpose:
+    //  - a `term isin (6k codes)` filter bakes the batch's code list into
+    //    the whole-stage-codegen source, so every batch compiles a fresh
+    //    Janino class AT THE EXECUTOR behind CodeGenerator.compile's
+    //    KeyLock — jstack showed 7 of 8 task threads parked on that
+    //    monitor while one compiled, a fixed serial cost that reads as
+    //    pure scaling loss. This plan's source never varies, so it is
+    //    compiled once per JVM and cached; term membership moves into the
+    //    task against a broadcast hash set (same per-row cost as InSet).
+    //  - selecting only the BM25 channels (no posDeltas, no WAND columns)
+    //    lets Parquet skip the position pages — the widest column of the
+    //    postings table — for the whole batch scan.
+    // With thousands of Zipf-resolved codes the isin filter pruned almost
+    // nothing anyway (its parquet pushdown degrades to a [min,max] term
+    // range that spans the dictionary). Single-query paths keep their
+    // selective isin pushdown.
+    val codeSetB = spark.sparkContext.broadcast(allCodes.toSet)
+    val slimCols = Seq($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls")
+    val scanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
+      if (sys.env.get("GRAFT_BM25_SCAN").contains("isin"))
+        postings
+          .filter($"term".isin(allCodes :+ IndexBuilder.DlStripTerm: _*))
+          .select(slimCols: _*).as[BmBlockRow].rdd
+      else
+        postings.select(slimCols: _*).as[BmBlockRow].rdd
+    val perBucket: org.apache.spark.rdd.RDD[FlatTopK] = scanRdd
+      .mapPartitions { blocks0 =>
+        val codeSet = codeSetB.value
+        val blocks = blocks0.filter(b =>
+          b.term == IndexBuilder.DlStripTerm || codeSet.contains(b.term))
         val tTiming = sys.env.contains("GRAFT_TIMING")
         var tPhase = System.nanoTime()
         def phaseMark(s: String): Unit = if (tTiming) {
@@ -1156,7 +1196,7 @@ final class SparkSearcher(
         // postings, which is what keeps this stage's CPU flat as
         // parallelism rises (the tuple-buffer form inflated CPU ~35% at
         // 8 threads from allocation/memory traffic alone)
-        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[PostingBlockRow]]
+        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BmBlockRow]]
         val dlOf = mutable.LongMap.empty[Long]
         var minDoc = Long.MaxValue
         var maxDoc = Long.MinValue
