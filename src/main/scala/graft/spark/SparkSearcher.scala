@@ -1086,11 +1086,24 @@ final class SparkSearcher(
 
   /** Resolve many bag-of-words queries with ONE dictionary round-trip. */
   private def resolveQueryCodesBatch(queries: Seq[Seq[String]]): Seq[Seq[String]] = {
-    val perWord = queries.flatten.distinct.map { w =>
-      w -> QueryPlanner.chooseCodes(w, exact0 = false, analyzer, this)._1
-    }.toMap
-    val present = existing(perWord.values.flatten.toSeq.distinct)
-    queries.map(q => q.flatMap(perWord(_)).distinct.filter(present).sorted)
+    // Driver-side resolve is a fixed serial cost on every batch (0.2-0.4 s
+    // at 48k queries) — pure Amdahl loss once the distributed merge got
+    // fast. Per-word code choice is embarrassingly parallel (Analyzer and
+    // the stemmers are stateless per call; dictCache lookups are reads of
+    // a frozen array), as is the per-query fan-out.
+    val words = queries.flatten.distinct.toArray
+    val codesOf = new Array[Seq[String]](words.length)
+    java.util.stream.IntStream.range(0, words.length).parallel().forEach { i =>
+      codesOf(i) = QueryPlanner.chooseCodes(words(i), exact0 = false, analyzer, this)._1
+    }
+    val perWord: Map[String, Seq[String]] = words.iterator.zip(codesOf.iterator).toMap
+    val present = existing(codesOf.iterator.flatten.toSeq.distinct)
+    val qArr = queries.toIndexedSeq
+    val out = new Array[Seq[String]](qArr.length)
+    java.util.stream.IntStream.range(0, qArr.length).parallel().forEach { i =>
+      out(i) = qArr(i).flatMap(perWord(_)).distinct.filter(present).sorted
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Batch bag-of-words BM25: scores every query in one pass over the
@@ -1128,8 +1141,11 @@ final class SparkSearcher(
     val distinctCodes: IndexedSeq[Seq[String]] = {
       val dfsLocal = dfs
       qCodes.distinct.sortBy { cs =>
-        cs.map(c => f"${Long.MaxValue - dfsLocal.getOrElse(c, 0L)}%019d $c")
-          .sorted.mkString("")
+        var top = 0L
+        cs.foreach { c =>
+          val v = dfsLocal.getOrElse(c, 0L); if (v > top) top = v
+        }
+        (-top, cs.mkString(" "))
       }.toIndexedSeq
     }
     val slotOf: Map[Seq[String], Int] = distinctCodes.zipWithIndex.toMap
@@ -1139,6 +1155,7 @@ final class SparkSearcher(
     val qIdfB = spark.sparkContext.broadcast(qIdf)
     val idfB = spark.sparkContext.broadcast(idf)
     val ad = avgdl
+    mark("slots")
 
     // Doc-sharded layout → score locally per partition, NO shuffle: each
     // task holds complete documents (every query term of its docs, plus
@@ -1154,31 +1171,32 @@ final class SparkSearcher(
     // Per-doc accumulation order stays the sorted-code order (arrays are
     // visited in qCodes order, which resolveQueryCodesBatch sorts), so
     // scores remain bit-identical to the sequential reference scorer.
-    // The scan plan is LITERAL-FREE and COLUMN-PRUNED, on purpose:
-    //  - a `term isin (6k codes)` filter bakes the batch's code list into
-    //    the whole-stage-codegen source, so every batch compiles a fresh
-    //    Janino class AT THE EXECUTOR behind CodeGenerator.compile's
-    //    KeyLock — jstack showed 7 of 8 task threads parked on that
-    //    monitor while one compiled, a fixed serial cost that reads as
-    //    pure scaling loss. This plan's source never varies, so it is
-    //    compiled once per JVM and cached; term membership moves into the
-    //    task against a broadcast hash set (same per-row cost as InSet).
+    // The scan plan is COLUMN-PRUNED and COMPILE-STABLE, on purpose:
     //  - selecting only the BM25 channels (no posDeltas, no WAND columns)
     //    lets Parquet skip the position pages — the widest column of the
-    //    postings table — for the whole batch scan.
-    // With thousands of Zipf-resolved codes the isin filter pruned almost
-    // nothing anyway (its parquet pushdown degrades to a [min,max] term
-    // range that spans the dictionary). Single-query paths keep their
-    // selective isin pushdown.
+    //    postings table — for the whole batch scan;
+    //  - jstack showed task threads serialized behind CodeGenerator
+    //    .compile's KeyLock when the filter's codegen source varied
+    //    between calls, so the filter shape is pinned to InSet (stable
+    //    source, one compile per JVM) and a task-side broadcast-set test
+    //    backstops the slim no-filter variant.
     val codeSetB = spark.sparkContext.broadcast(allCodes.toSet)
     val slimCols = Seq($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls")
+    // Default keeps the InSet plan filter: a >10-value isInCollection
+    // optimizes to InSet whose codegen source does NOT embed the values
+    // (probe: three different 6k-term sets ran at identical post-warmup
+    // speed), so the Janino compile is paid once per JVM — and the filter
+    // prunes non-queried terms BEFORE row materialization, which is what
+    // keeps this scan viable when the dictionary dwarfs the batch's code
+    // set (10^8 terms vs 10^4 codes at full scale). GRAFT_BM25_SCAN=slim
+    // drops the plan filter entirely (task-side set test only).
     val scanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
-      if (sys.env.get("GRAFT_BM25_SCAN").contains("isin"))
-        postings
-          .filter($"term".isin(allCodes :+ IndexBuilder.DlStripTerm: _*))
-          .select(slimCols: _*).as[BmBlockRow].rdd
-      else
+      if (sys.env.get("GRAFT_BM25_SCAN").contains("slim"))
         postings.select(slimCols: _*).as[BmBlockRow].rdd
+      else
+        postings
+          .filter($"term".isInCollection(allCodes :+ IndexBuilder.DlStripTerm))
+          .select(slimCols: _*).as[BmBlockRow].rdd
     val perBucket: org.apache.spark.rdd.RDD[FlatTopK] = scanRdd
       .mapPartitions { blocks0 =>
         val codeSet = codeSetB.value
