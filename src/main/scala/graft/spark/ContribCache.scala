@@ -1,0 +1,121 @@
+package graft.spark
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.mutable
+
+/** Executor-resident, version-pinned cache of decoded per-shard postings
+  * for the BM25 batch scorer — the "hot index in RAM" every serving engine
+  * keeps (Lucene's page-cache residency, Docodo's in-process readers).
+  *
+  * Motivation (measured): the batch's parquet scan is a one-pass DRAM
+  * stream (page decode + row materialization) that re-runs on EVERY batch
+  * call and inflates ~2.2x when 8 tasks stream concurrently — it was 70%
+  * of task time while the MaxScore merge, whose working set fits L3, only
+  * inflates ~1.3x. Serving repeated batches from a decoded cache removes
+  * the non-scaling component entirely; the first batch on a snapshot pays
+  * one full-shard decode (reported by the bench as the warm/cold split).
+  *
+  * Safety:
+  *  - Keys are `dir@vN#partition`: snapshot versions are immutable (files
+  *    are never rewritten under a version; new ingests commit new
+  *    versions), so an entry can never go stale — a new snapshot simply
+  *    uses new keys and the old ones age out via LRU.
+  *  - Entries hold PARTITION-relative data. Scoring is shard-local and a
+  *    job is the union over all partitions, so results are correct even
+  *    if Spark were to permute file->partition assignment between
+  *    sessions (each partition id still appears exactly once).
+  *  - `raw` holds (relIds, tfs) awaiting a term's idf (idf is known only
+  *    for queried codes — the driver broadcasts it per batch); the first
+  *    batch that queries a code promotes it to a score-ready `contrib`
+  *    entry (idf and avgdl are snapshot-pinned, so promotion is
+  *    idempotent and the cached scores are exact).
+  *  - Budgeted: GRAFT_CONTRIB_CACHE_MB (default 4096; 0 disables). Whole
+  *    shards are evicted least-recently-used; a shard larger than the
+  *    whole budget is simply not published.
+  */
+object ContribCache {
+
+  final class Shard(val base: Long, val dlOf: mutable.LongMap[Long], dlBytes: Long) {
+    /** code -> (partition-relative docIds asc, raw tfs) awaiting idf. */
+    val raw = new ConcurrentHashMap[String, (Array[Int], Array[Int])]()
+    /** code -> (relIds, per-doc BM25 contribution, max contribution). */
+    val contrib = new ConcurrentHashMap[String, (Array[Int], Array[Double], Double)]()
+    val bytes = new AtomicLong(dlBytes)
+    @volatile var lastUsed: Long = System.nanoTime()
+
+    def putRaw(code: String, ids: Array[Int], tfs: Array[Int]): Unit = {
+      if (raw.putIfAbsent(code, (ids, tfs)) == null)
+        bytes.addAndGet(8L * ids.length + 64 + code.length)
+    }
+
+    /** Promote a queried code to score-ready form (drops its raw tfs). */
+    def promote(code: String, idf: Double, avgdl: Double): (Array[Int], Array[Double], Double) = {
+      val have = contrib.get(code)
+      if (have != null) return have
+      val r = raw.get(code)
+      if (r == null) return null
+      val (ids, tfs) = r
+      val n = ids.length
+      val cs = new Array[Double](n)
+      var cMax = 0.0
+      var i = 0
+      while (i < n) {
+        val c = idf * graft.query.Ranker.bm25TfNorm(tfs(i).toLong,
+          dlOf.getOrElse(base + ids(i), 1L), avgdl)
+        cs(i) = c
+        if (c > cMax) cMax = c
+        i += 1
+      }
+      val v = (ids, cs, cMax)
+      val prev = contrib.putIfAbsent(code, v)
+      if (prev != null) prev
+      else {
+        // ids array is shared between raw and contrib; net delta = cs - tfs
+        bytes.addAndGet(8L * n - 4L * n)
+        raw.remove(code)
+        v
+      }
+    }
+  }
+
+  val maxBytes: Long =
+    sys.env.get("GRAFT_CONTRIB_CACHE_MB").map(_.toLong << 20).getOrElse(4096L << 20)
+  def enabled: Boolean = maxBytes > 0
+
+  private val shards = new ConcurrentHashMap[String, Shard]()
+  private val total = new AtomicLong(0L)
+
+  def get(key: String): Shard = {
+    val s = shards.get(key)
+    if (s != null) s.lastUsed = System.nanoTime()
+    s
+  }
+
+  /** Publish a freshly-built shard, evicting LRU entries to fit budget.
+    * Returns the canonical instance (first publisher wins on a race). */
+  def put(key: String, sh: Shard): Shard = {
+    val sz = sh.bytes.get()
+    if (sz > maxBytes) return sh // oversized: task-local use only
+    val prev = shards.putIfAbsent(key, sh)
+    if (prev != null) return prev
+    val newTotal = total.addAndGet(sz)
+    if (newTotal > maxBytes) evictTo(maxBytes, keep = key)
+    sh
+  }
+
+  private def evictTo(budget: Long, keep: String): Unit = synchronized {
+    import scala.jdk.CollectionConverters._
+    val byAge = shards.entrySet().asScala.toSeq.sortBy(_.getValue.lastUsed)
+    val it = byAge.iterator
+    while (total.get() > budget && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != keep && shards.remove(e.getKey, e.getValue))
+        total.addAndGet(-e.getValue.bytes.get())
+    }
+  }
+
+  /** Test/ops hook: drop everything. */
+  def clear(): Unit = { shards.clear(); total.set(0L) }
+  def totalBytes: Long = total.get()
+}

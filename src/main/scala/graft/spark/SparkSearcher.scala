@@ -981,22 +981,58 @@ final class SparkSearcher(
     * score is strictly under the floor and could neither enter the top-k
     * nor win a docId tie-break. Surviving docs accumulate contributions in
     * the caller's array order (sorted-code order), unchanged. */
+  /** Reusable scratch for mergeTopKInt: the batch path calls the merge
+    * once per (slot, shard) — ~2M times per 96k-query batch at 96 shards —
+    * and the per-call allocation of six small arrays plus the tuple buffer
+    * was the dominant cost of the cache-hot path. One workspace per task. */
+  final class MergeWs(maxArrs: Int, k: Int) {
+    val arrs = new Array[(Array[Int], Array[Double], Double)](maxArrs)
+    val pos = new Array[Int](maxArrs)
+    val ord = new Array[Int](maxArrs)
+    val bound = new Array[Double](maxArrs + 1)
+    val nonEss = new Array[Boolean](maxArrs)
+    val ds = new Array[Long](k)
+    val ss = new Array[Double](k)
+  }
+
   private def mergeTopKInt(
       arrs: Array[(Array[Int], Array[Double], Double)], base: Long,
       k: Int): (Array[Long], Array[Double]) = {
-    val m = arrs.length
-    val pos = new Array[Int](m)
-    val ds = new Array[Long](k)
-    val ss = new Array[Double](k)
+    val ws = new MergeWs(arrs.length, k)
+    System.arraycopy(arrs, 0, ws.arrs, 0, arrs.length)
+    mergeTopKInt(ws, arrs.length, base, k)
+  }
+
+  /** In-workspace variant: first `m` entries of ws.arrs are the inputs. */
+  private def mergeTopKInt(ws: MergeWs, m: Int, base: Long,
+      k: Int): (Array[Long], Array[Double]) = {
+    val arrs = ws.arrs
+    val pos = ws.pos
+    java.util.Arrays.fill(pos, 0, m, 0)
+    val ds = ws.ds
+    val ss = ws.ss
     var n = 0
     // codes by max contribution ascending; bound(t) ≥ any achievable float
     // score of a doc whose contributions all come from ord[0..t-1]
-    val ord = Array.range(0, m).sortBy(arrs(_)._3)
-    val bound = new Array[Double](m + 1)
+    val ord = ws.ord
+    var oi = 0
+    while (oi < m) { ord(oi) = oi; oi += 1 }
+    // insertion sort by max contribution ascending (m is tiny)
+    oi = 1
+    while (oi < m) {
+      val v = ord(oi)
+      val key = arrs(v)._3
+      var oj = oi - 1
+      while (oj >= 0 && arrs(ord(oj))._3 > key) { ord(oj + 1) = ord(oj); oj -= 1 }
+      ord(oj + 1) = v
+      oi += 1
+    }
+    val bound = ws.bound
     var bi = 0
     var acc = 0.0
     while (bi < m) { acc += arrs(ord(bi))._3; bound(bi + 1) = acc * (1 + 1e-9); bi += 1 }
-    val nonEss = new Array[Boolean](m)
+    val nonEss = ws.nonEss
+    java.util.Arrays.fill(nonEss, 0, m, false)
     var ness = 0 // ord[0..ness-1] are non-essential
     while (true) {
       var d = Int.MaxValue
@@ -1152,8 +1188,10 @@ final class SparkSearcher(
     val qSlot: Seq[Int] = qCodes.map(slotOf)
     val qIdf: IndexedSeq[Seq[(String, Double)]] =
       distinctCodes.map(_.map(c => c -> idf(c)))
-    val qIdfB = spark.sparkContext.broadcast(qIdf)
-    val idfB = spark.sparkContext.broadcast(idf)
+    // ONE broadcast for the whole batch: each TorrentBroadcast carries a
+    // fixed driver-side setup latency, and three of them (slot idfs, code
+    // idfs, code set) were pure serial overhead per batch call.
+    val batchB = spark.sparkContext.broadcast((qIdf, idf, allCodes.toSet))
     val ad = avgdl
     mark("slots")
 
@@ -1171,37 +1209,40 @@ final class SparkSearcher(
     // Per-doc accumulation order stays the sorted-code order (arrays are
     // visited in qCodes order, which resolveQueryCodesBatch sorts), so
     // scores remain bit-identical to the sequential reference scorer.
-    // The scan plan is COLUMN-PRUNED and COMPILE-STABLE, on purpose:
-    //  - selecting only the BM25 channels (no posDeltas, no WAND columns)
-    //    lets Parquet skip the position pages — the widest column of the
-    //    postings table — for the whole batch scan;
-    //  - jstack showed task threads serialized behind CodeGenerator
-    //    .compile's KeyLock when the filter's codegen source varied
-    //    between calls, so the filter shape is pinned to InSet (stable
-    //    source, one compile per JVM) and a task-side broadcast-set test
-    //    backstops the slim no-filter variant.
-    val codeSetB = spark.sparkContext.broadcast(allCodes.toSet)
     val slimCols = Seq($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls")
-    // Default keeps the InSet plan filter: a >10-value isInCollection
-    // optimizes to InSet whose codegen source does NOT embed the values
-    // (probe: three different 6k-term sets ran at identical post-warmup
-    // speed), so the Janino compile is paid once per JVM — and the filter
-    // prunes non-queried terms BEFORE row materialization, which is what
-    // keeps this scan viable when the dictionary dwarfs the batch's code
-    // set (10^8 terms vs 10^4 codes at full scale). GRAFT_BM25_SCAN=slim
-    // drops the plan filter entirely (task-side set test only).
+    // Scan strategy:
+    //  - default: slim no-filter scan + executor-resident ContribCache —
+    //    a shard is fully decoded ONCE per snapshot (the non-scaling
+    //    parquet stream disappears from every later batch); see
+    //    ContribCache's scaladoc for the measurements and safety argument.
+    //  - GRAFT_BM25_SCAN=isin (or GRAFT_CONTRIB_CACHE_MB=0): InSet plan
+    //    filter (codegen source is value-independent — one Janino compile
+    //    per JVM, probed in graft.tools.InSetProbe) pruning non-queried
+    //    terms before row materialization; right when the dictionary
+    //    dwarfs the batch's code set and shards cannot be RAM-resident.
+    val cacheOn = ContribCache.enabled &&
+      !sys.env.get("GRAFT_BM25_SCAN").contains("isin")
+    // The tag binds CONTENT, not just (dir, version): benches and tests
+    // rebuild indexes into the same directory (same v1), and a stale hit
+    // would silently serve the previous build. Parquet part files are
+    // UUID-stamped per write job, so hashing the snapshot's postings file
+    // list pins the exact bytes on disk.
+    val cacheTag = {
+      val files = snap.files.getOrElse("postings", Nil).mkString("|")
+      // nDocs/avgdl add content entropy for legacy dirs with no manifest
+      s"$indexDir@v${snap.version}:${files.hashCode.toHexString}:${files.length}:" +
+        s"${snap.nDocs}:${java.lang.Double.doubleToLongBits(snap.avgdl)}"
+    }
     val scanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
-      if (sys.env.get("GRAFT_BM25_SCAN").contains("slim"))
+      if (cacheOn || sys.env.get("GRAFT_BM25_SCAN").contains("slim"))
         postings.select(slimCols: _*).as[BmBlockRow].rdd
       else
         postings
           .filter($"term".isInCollection(allCodes :+ IndexBuilder.DlStripTerm))
           .select(slimCols: _*).as[BmBlockRow].rdd
     val perBucket: org.apache.spark.rdd.RDD[FlatTopK] = scanRdd
-      .mapPartitions { blocks0 =>
-        val codeSet = codeSetB.value
-        val blocks = blocks0.filter(b =>
-          b.term == IndexBuilder.DlStripTerm || codeSet.contains(b.term))
+      .mapPartitionsWithIndex { (shardIdx, blocks0) =>
+        val (bQIdf, bIdf, codeSet) = batchB.value
         val tTiming = sys.env.contains("GRAFT_TIMING")
         var tPhase = System.nanoTime()
         def phaseMark(s: String): Unit = if (tTiming) {
@@ -1209,81 +1250,135 @@ final class SparkSearcher(
           System.err.println(f"[graft-timing] bm25part $s: ${(now - tPhase) / 1e9}%.3fs")
           tPhase = now
         }
-        // buffer block REFS per term (a handful of rows each), then
-        // bulk-decode into exactly-sized primitive arrays — zero boxed
-        // postings, which is what keeps this stage's CPU flat as
-        // parallelism rises (the tuple-buffer form inflated CPU ~35% at
-        // 8 threads from allocation/memory traffic alone)
-        val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BmBlockRow]]
-        val dlOf = mutable.LongMap.empty[Long]
-        var minDoc = Long.MaxValue
-        var maxDoc = Long.MinValue
-        blocks.foreach { b =>
-          if (b.term == IndexBuilder.DlStripTerm)
-            IndexBuilder.foreachDlStrip(b) { (d, dl) =>
-              dlOf(d) = dl
-              if (d < minDoc) minDoc = d
-              if (d > maxDoc) maxDoc = d
-            }
-          else byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
-        }
-        phaseMark("scan")
-        val qs = qIdfB.value.toArray
-        // Contribution docIds are stored PARTITION-RELATIVE as Ints when
-        // the shard's docId span fits (the dl strips cover every doc of
-        // the shard, so [minDoc, maxDoc] bounds every posting): the merge
-        // phase re-walks these arrays once per (query, code) and is the
-        // batch's main memory traffic — 4-byte ids cut it 25%, which is
-        // what the oversubscribed legs are starved of. A shard spanning
-        // > 2^31 docIds (pathologically few partitions at 10^12 docs)
-        // falls back to the Long merge.
-        val base = if (minDoc == Long.MaxValue) 0L else minDoc
-        val intOk = maxDoc - base <= Int.MaxValue.toLong
-        // per-code contribution arrays (docId asc — block order within a
-        // term is ascending by the index invariant; guarded below); the Int
-        // form also carries the code's max contribution for MaxScore skips
+        // shardIdx (the PARENT partition index) rather than TaskContext's
+        // partition id: the downstream narrow coalesce pipelines several
+        // shard closures into one task, whose task-level id would collide
+        // the cache keys of distinct shards.
+        val ckey = cacheTag + "#" + shardIdx
+        var shard: ContribCache.Shard = if (cacheOn) ContribCache.get(ckey) else null
+        // legacy holders (cache off, or a shard spanning > 2^31 docIds)
         val contribI = mutable.HashMap.empty[String, (Array[Int], Array[Double], Double)]
         val contribL = mutable.HashMap.empty[String, (Array[Long], Array[Double])]
-        // scratch decode buffers reused across codes
-        var ds = Array.emptyLongArray
-        var tf = Array.emptyLongArray
-        byTerm.foreach { case (code, bs) =>
-          val sorted = if (bs.length > 1) bs.sortBy(_.firstDocId) else bs
-          var n = 0
-          sorted.foreach(n += _.nDocs)
-          if (ds.length < n) { ds = new Array[Long](n); tf = new Array[Long](n) }
-          var off = 0
-          sorted.foreach(b => off = IndexBuilder.decodeDocTfsInto(b, ds, tf, off))
-          var asc = true
-          var i = 1
-          while (i < n) { if (ds(i) <= ds(i - 1)) asc = false; i += 1 }
-          if (!asc) { // defensive: restore the invariant rather than mis-merge
-            val idx = Array.range(0, n).sortBy(ds(_))
-            val ds2 = idx.map(ds(_)); val tf2 = idx.map(tf(_))
-            System.arraycopy(ds2, 0, ds, 0, n); System.arraycopy(tf2, 0, tf, 0, n)
+        var base = 0L
+        var intOk = true
+        if (shard == null) {
+          // buffer block REFS per term (a handful of rows each), then
+          // bulk-decode into exactly-sized primitive arrays — zero boxed
+          // postings, which is what keeps this stage's CPU flat as
+          // parallelism rises (the tuple-buffer form inflated CPU ~35% at
+          // 8 threads from allocation/memory traffic alone). With the
+          // cache on, EVERY term is kept (the decode is paid once per
+          // snapshot and later batches need codes this one doesn't).
+          val byTerm = mutable.HashMap.empty[String, mutable.ArrayBuffer[BmBlockRow]]
+          val dlOf = mutable.LongMap.empty[Long]
+          var minDoc = Long.MaxValue
+          var maxDoc = Long.MinValue
+          blocks0.foreach { b =>
+            if (b.term == IndexBuilder.DlStripTerm)
+              IndexBuilder.foreachDlStrip(b) { (d, dl) =>
+                dlOf(d) = dl
+                if (d < minDoc) minDoc = d
+                if (d > maxDoc) maxDoc = d
+              }
+            else if (cacheOn || codeSet.contains(b.term))
+              byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
           }
-          val cIdf = idfB.value(code)
-          val cs = new Array[Double](n)
-          var cMax = 0.0
-          i = 0
-          while (i < n) {
-            val c = cIdf * Ranker.bm25TfNorm(tf(i), dlOf.getOrElse(ds(i), 1L), ad)
-            cs(i) = c
-            if (c > cMax) cMax = c
-            i += 1
+          phaseMark("scan")
+          // Contribution docIds are stored PARTITION-RELATIVE as Ints when
+          // the shard's docId span fits (the dl strips cover every doc of
+          // the shard, so [minDoc, maxDoc] bounds every posting): the
+          // merge re-walks these arrays once per (query, code) and is the
+          // batch's main memory traffic — 4-byte ids cut it 25%. A shard
+          // spanning > 2^31 docIds (pathologically few partitions at
+          // 10^12 docs) falls back to the Long merge, uncached.
+          base = if (minDoc == Long.MaxValue) 0L else minDoc
+          intOk = maxDoc - base <= Int.MaxValue.toLong
+          // scratch decode buffers reused across codes
+          var ds = Array.emptyLongArray
+          var tf = Array.emptyLongArray
+          val sh =
+            if (cacheOn && intOk)
+              new ContribCache.Shard(base, dlOf, 48L * dlOf.size + 64)
+            else null
+          byTerm.foreach { case (code, bs) =>
+            val sorted = if (bs.length > 1) bs.sortBy(_.firstDocId) else bs
+            var n = 0
+            sorted.foreach(n += _.nDocs)
+            if (ds.length < n) { ds = new Array[Long](n); tf = new Array[Long](n) }
+            var off = 0
+            sorted.foreach(b => off = IndexBuilder.decodeDocTfsInto(b, ds, tf, off))
+            var asc = true
+            var i = 1
+            while (i < n) { if (ds(i) <= ds(i - 1)) asc = false; i += 1 }
+            if (!asc) { // defensive: restore the invariant rather than mis-merge
+              val idx = Array.range(0, n).sortBy(ds(_))
+              val ds2 = idx.map(ds(_)); val tf2 = idx.map(tf(_))
+              System.arraycopy(ds2, 0, ds, 0, n); System.arraycopy(tf2, 0, tf, 0, n)
+            }
+            if (sh != null) {
+              val di = new Array[Int](n)
+              val ti = new Array[Int](n)
+              i = 0
+              while (i < n) {
+                di(i) = (ds(i) - base).toInt
+                ti(i) = math.min(tf(i), Int.MaxValue.toLong).toInt
+                i += 1
+              }
+              sh.putRaw(code, di, ti)
+            } else {
+              val cIdf = bIdf(code)
+              val cs = new Array[Double](n)
+              var cMax = 0.0
+              i = 0
+              while (i < n) {
+                val c = cIdf * Ranker.bm25TfNorm(tf(i), dlOf.getOrElse(ds(i), 1L), ad)
+                cs(i) = c
+                if (c > cMax) cMax = c
+                i += 1
+              }
+              if (intOk) {
+                val di = new Array[Int](n)
+                i = 0
+                while (i < n) { di(i) = (ds(i) - base).toInt; i += 1 }
+                contribI(code) = (di, cs, cMax)
+              } else contribL(code) = (java.util.Arrays.copyOf(ds, n), cs)
+            }
           }
-          if (intOk) {
-            val di = new Array[Int](n)
-            i = 0
-            while (i < n) { di(i) = (ds(i) - base).toInt; i += 1 }
-            contribI(code) = (di, cs, cMax)
-          } else contribL(code) = (java.util.Arrays.copyOf(ds, n), cs)
+          if (sh != null) shard = ContribCache.put(ckey, sh)
+        } else phaseMark("scan")
+        if (shard != null) {
+          base = shard.base
+          // Promote every queried code UP FRONT (one pass, null-free merge
+          // loop): the per-(slot, code) promote path hid the score-array
+          // construction inside the merge mark and paid CHM churn per slot.
+          val s0 = shard
+          codeSet.foreach { c =>
+            val idf = bIdf.getOrElse(c, 0.0)
+            s0.promote(c, idf, ad)
+          }
         }
         phaseMark("contrib")
+        val qs = bQIdf.toArray
         val tops = new Array[(Array[Long], Array[Double])](qs.length)
+        var maxCodes = 1
+        var mq = 0
+        while (mq < qs.length) {
+          if (qs(mq).length > maxCodes) maxCodes = qs(mq).length
+          mq += 1
+        }
+        val ws = new MergeWs(maxCodes, k)
         var qi = 0
         while (qi < qs.length) {
-          if (intOk) {
+          if (shard != null) {
+            val cm = shard.contrib
+            val src = qs(qi)
+            var m = 0
+            src.foreach { case (c, _) =>
+              val v = cm.get(c)
+              if (v != null) { ws.arrs(m) = v; m += 1 }
+            }
+            if (m > 0) tops(qi) = mergeTopKInt(ws, m, base, k)
+          } else if (intOk) {
             val arrs = qs(qi).iterator.map(_._1).flatMap(contribI.get).toArray
             if (arrs.nonEmpty) tops(qi) = mergeTopKInt(arrs, base, k)
           } else {
@@ -1317,19 +1412,26 @@ final class SparkSearcher(
         Iterator.single(FlatTopK(counts, fIds, fSs))
       }
 
-    // two-level merge: per-task top-k (above) → treeReduce over the
-    // per-task Q×k partials. No shuffle stage (the former groupByKey
-    // exchange moved Q×k×#tasks rows and AQE coalesced its reduce side to
-    // ~2 tasks — a serial tail at every cluster size), and the driver
-    // receives O(√#tasks) partials instead of the eval stream. Docs are
-    // fully scored within their shard, so merging picks max entries with
-    // no re-accumulation and scores stay bit-identical.
+    // Two-level merge with NO exchange at all: a narrow coalesce to one
+    // partial per core pipelines several shard closures into each task
+    // (shards still score ONE AT A TIME, so the per-instant working set
+    // stays a single L3-resident shard) and pairwise-merges their Q×k
+    // partials in place; the driver then reduces ~#cores partials pulled
+    // directly as task results. The former treeReduce over ~100 fat
+    // partials (Q×k ≈ 3 MB each) shuffled >100 MB per batch — at the
+    // 2-core leg that serde dwarfed the 0.7 s of actual merge compute.
+    // Docs are fully scored within their shard, so partial merging picks
+    // max entries with no re-accumulation and scores stay bit-identical.
     val kk = k
+    val nCombine = math.max(2, spark.sparkContext.defaultParallelism)
     val merged: FlatTopK =
       if (perBucket.getNumPartitions == 0)
         FlatTopK(new Array[Int](distinctCodes.length), Array.emptyLongArray,
           Array.emptyDoubleArray)
-      else perBucket.treeReduce(mergeFlatTopK(_, _, kk), depth = 2)
+      else perBucket
+        .coalesce(nCombine)
+        .mapPartitions(ps => ps.reduceOption(mergeFlatTopK(_, _, kk)).iterator)
+        .reduce(mergeFlatTopK(_, _, kk))
     mark("scoreJob")
     val perSlot = new Array[Seq[(Long, Double)]](distinctCodes.length)
     var off = 0
