@@ -42,6 +42,9 @@ object ContribCache {
     /** code -> (relIds, per-doc BM25 contribution, max contribution). */
     val contrib = new ConcurrentHashMap[String, (Array[Int], Array[Double], Double)]()
     val bytes = new AtomicLong(dlBytes)
+    /** set once by put() after a successful publish: post-publish growth
+      * (promote's score arrays) must also flow into the global total. */
+    @volatile private[spark] var published = false
     @volatile var lastUsed: Long = System.nanoTime()
 
     def putRaw(code: String, ids: Array[Int], tfs: Array[Int]): Unit = {
@@ -72,15 +75,25 @@ object ContribCache {
       if (prev != null) prev
       else {
         // ids array is shared between raw and contrib; net delta = cs - tfs
-        bytes.addAndGet(8L * n - 4L * n)
+        val delta = 8L * n - 4L * n
+        bytes.addAndGet(delta)
+        // keep the global budget honest for promotions that land AFTER the
+        // shard was published (put() snapshots bytes at insert time). The
+        // published/insert window can leak a few promote deltas — the
+        // budget is a soft bound; per-shard bytes stay exact for eviction.
+        if (published) total.addAndGet(delta)
         raw.remove(code)
         v
       }
     }
   }
 
-  val maxBytes: Long =
+  private val envMaxBytes: Long =
     sys.env.get("GRAFT_CONTRIB_CACHE_MB").map(_.toLong << 20).getOrElse(4096L << 20)
+  /** Test hook: overrides the env budget when set (single-JVM tests can't
+    * vary process env per-case). */
+  @volatile var maxBytesOverride: Option[Long] = None
+  def maxBytes: Long = maxBytesOverride.getOrElse(envMaxBytes)
   def enabled: Boolean = maxBytes > 0
 
   private val shards = new ConcurrentHashMap[String, Shard]()
@@ -99,6 +112,7 @@ object ContribCache {
     if (sz > maxBytes) return sh // oversized: task-local use only
     val prev = shards.putIfAbsent(key, sh)
     if (prev != null) return prev
+    sh.published = true
     val newTotal = total.addAndGet(sz)
     if (newTotal > maxBytes) evictTo(maxBytes, keep = key)
     sh

@@ -1220,7 +1220,21 @@ final class SparkSearcher(
     //    per JVM, probed in graft.tools.InSetProbe) pruning non-queried
     //    terms before row materialization; right when the dictionary
     //    dwarfs the batch's code set and shards cannot be RAM-resident.
-    val cacheOn = ContribCache.enabled &&
+    // Auto-selection guard for the cache path: the cache-on scan decodes a
+    // shard's EVERY term on first touch (later batches need codes this one
+    // doesn't), so entering it only makes sense when the snapshot's decoded
+    // postings can actually be RAM-resident across the executors. At
+    // 10^12 docs they cannot — the estimate (12 B/posting upper bound:
+    // 4 B relId + 8 B score after promotion, plus the dl strips) exceeds
+    // any budget and the scan falls back to the InSet-pruned path, which
+    // reads only the queried terms' row groups. Executor count from the
+    // block-manager registry (local mode = 1 JVM).
+    val cacheFits = {
+      val execs = math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1)
+      val estBytes = 12L * snap.totalPostings + 48L * snap.nDocs
+      estBytes <= ContribCache.maxBytes * execs
+    }
+    val cacheOn = ContribCache.enabled && cacheFits &&
       !sys.env.get("GRAFT_BM25_SCAN").contains("isin")
     // The tag binds CONTENT, not just (dir, version): benches and tests
     // rebuild indexes into the same directory (same v1), and a stale hit
