@@ -200,6 +200,14 @@ final class SparkSearcher(
   @transient private lazy val postings = readTable("postings", "postings").as[PostingBlockRow]
   @transient private lazy val docText = readTable("doctext", "doctext").as[DocTextRow]
 
+  /** BM25 batch slim scan, planned ONCE per searcher: a Dataset→RDD
+    * conversion runs Catalyst analysis/optimization per call — a fixed
+    * per-batch driver cost that doesn't scale with executors. The
+    * no-filter slim plan never varies across batches on a snapshot. */
+  @transient private lazy val slimBmScanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
+    postings.select($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls")
+      .as[BmBlockRow].rdd
+
   // ---- TermDict over the termstats table ----
   // per-lookup memo: existing() and the subsequent dfOf() for the same
   // query hit the dictionary once, not twice (driver-sequential usage)
@@ -1121,25 +1129,88 @@ final class SparkSearcher(
   }
 
   /** Resolve many bag-of-words queries with ONE dictionary round-trip. */
-  private def resolveQueryCodesBatch(queries: Seq[Seq[String]]): Seq[Seq[String]] = {
-    // Driver-side resolve is a fixed serial cost on every batch (0.2-0.4 s
-    // at 48k queries) — pure Amdahl loss once the distributed merge got
-    // fast. Per-word code choice is embarrassingly parallel (Analyzer and
-    // the stemmers are stateless per call; dictCache lookups are reads of
-    // a frozen array), as is the per-query fan-out.
-    val words = queries.flatten.distinct.toArray
-    val codesOf = new Array[Seq[String]](words.length)
-    java.util.stream.IntStream.range(0, words.length).parallel().forEach { i =>
-      codesOf(i) = QueryPlanner.chooseCodes(words(i), exact0 = false, analyzer, this)._1
-    }
-    val perWord: Map[String, Seq[String]] = words.iterator.zip(codesOf.iterator).toMap
-    val present = existing(codesOf.iterator.flatten.toSeq.distinct)
+  /** word → snapshot-pinned resolved codes (distinct, existence-filtered,
+    * sorted). Resolution is deterministic per snapshot (analyzer, vocab and
+    * dictionary are all version-pinned), so repeated batches pay one CHM
+    * read per word instead of re-analyzing — the driver-side resolve was a
+    * per-batch cost that did not scale with executors (Amdahl). Bounded:
+    * past 2M entries new words stop being memoized (batch-local overlay
+    * still serves them). */
+  @transient private lazy val wordCodesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** whole query (word seq) → resolved code set; same snapshot-pinned
+    * determinism argument as the word memo, same bound. Hot batches
+    * resolve a repeated query with ONE map read. */
+  @transient private lazy val queryCodesMemo =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Seq[String]]()
+
+  /** Resolve a batch straight into (per-query slot id, distinct slot code
+    * sets): the per-query footprint after this pass is ONE Int, and the
+    * distinct + slot assignment ride the same parallel loop as the code
+    * fan-out (they were separate passes over the 10^5-query array). */
+  private def resolveQuerySlotsBatch(
+      queries: Seq[Seq[String]]): (Array[Int], Array[Seq[String]]) = {
     val qArr = queries.toIndexedSeq
-    val out = new Array[Seq[String]](qArr.length)
+    val slotMap = new java.util.concurrent.ConcurrentHashMap[Seq[String], Integer]()
+    val nextSlot = new java.util.concurrent.atomic.AtomicInteger(0)
+    val qSlot = new Array[Int](qArr.length)
+    def slotIdOf(cs: Seq[String]): Int = slotMap.computeIfAbsent(cs,
+      _ => Integer.valueOf(nextSlot.getAndIncrement())).intValue()
+    // OPTIMISTIC pass: on a steady-state batch every query hits the
+    // query-level memo and resolution is one map read + one slot map op.
+    // Queries with unmemoized words fall through to the slow pass below.
+    val missed = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
     java.util.stream.IntStream.range(0, qArr.length).parallel().forEach { i =>
-      out(i) = qArr(i).flatMap(perWord(_)).distinct.filter(present).sorted
+      val cs = queryCodesMemo.get(qArr(i))
+      if (cs == null) missed.add(Integer.valueOf(i))
+      else qSlot(i) = slotIdOf(cs)
     }
-    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    if (!missed.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      val missIdx = missed.asScala.toArray
+      // resolve the missing words once (word-level memo carries across
+      // batches; `local` overlays it when the memo is size-capped)
+      val freshSet = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      java.util.stream.IntStream.range(0, missIdx.length).parallel().forEach { mi =>
+        qArr(missIdx(mi).intValue()).foreach(
+          w => if (!wordCodesMemo.containsKey(w)) freshSet.add(w))
+      }
+      val local = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+      if (!freshSet.isEmpty) {
+        val fresh = freshSet.toArray(new Array[String](0))
+        val codesOf = new Array[Seq[String]](fresh.length)
+        java.util.stream.IntStream.range(0, fresh.length).parallel().forEach { i =>
+          codesOf(i) = QueryPlanner.chooseCodes(fresh(i), exact0 = false, analyzer, this)._1
+        }
+        val present = existing(codesOf.iterator.flatten.toSeq.distinct)
+        val memoOpen = wordCodesMemo.size() < 2000000
+        java.util.stream.IntStream.range(0, fresh.length).parallel().forEach { i =>
+          val cs = codesOf(i).filter(present).distinct.sorted
+          local.put(fresh(i), cs)
+          if (memoOpen) wordCodesMemo.put(fresh(i), cs)
+        }
+      }
+      def lookup(w: String): Seq[String] = {
+        val m = wordCodesMemo.get(w)
+        if (m != null) m else local.get(w)
+      }
+      val qMemoOpen = queryCodesMemo.size() < 2000000
+      java.util.stream.IntStream.range(0, missIdx.length).parallel().forEach { mi =>
+        val i = missIdx(mi).intValue()
+        val q = qArr(i)
+        // per-word code lists are distinct+sorted; multi-word sets need the
+        // cross-word distinct (words can share a stem code) and re-sort
+        val cs: Seq[String] =
+          if (q.length == 1) lookup(q.head)
+          else q.flatMap(lookup).distinct.sorted
+        if (qMemoOpen) queryCodesMemo.put(q, cs)
+        qSlot(i) = slotIdOf(cs)
+      }
+    }
+    val slotArr = new Array[Seq[String]](nextSlot.get())
+    slotMap.forEach((cs, id) => slotArr(id.intValue()) = cs)
+    (qSlot, slotArr)
   }
 
   /** Batch bag-of-words BM25: scores every query in one pass over the
@@ -1154,9 +1225,9 @@ final class SparkSearcher(
       System.err.println(f"[graft-timing] bm25batch $s: ${(now - tM) / 1e9}%.2fs")
       tM = now
     }
-    val qCodes: Seq[Seq[String]] = resolveQueryCodesBatch(queries)
+    val (qSlotRaw, slotRaw) = resolveQuerySlotsBatch(queries)
     mark("resolve")
-    val allCodes = qCodes.flatten.distinct
+    val allCodes = slotRaw.iterator.flatten.toSeq.distinct
     if (allCodes.isEmpty) return queries.map(_ => Nil)
     val dfs = dfOf(allCodes)
     mark("dfOf")
@@ -1174,20 +1245,46 @@ final class SparkSearcher(
     // (hottest/largest code first — df is known driver-side) makes adjacent
     // slots revisit the same arrays while they are still cache-resident.
     // Order of evaluation is free: results fan back out via slotOf/qSlot.
+    // Slot order is a locality choice only (hottest/largest code first so
+    // adjacent slots revisit cache-resident arrays); results don't depend
+    // on it. Sort the ~10^3-10^4 distinct slots, then remap the per-query
+    // slot ids with one parallel pass.
     val distinctCodes: IndexedSeq[Seq[String]] = {
       val dfsLocal = dfs
-      qCodes.distinct.sortBy { cs =>
+      val order = slotRaw.indices.toArray
+      val tops = new Array[Long](slotRaw.length)
+      val joined = new Array[String](slotRaw.length)
+      java.util.stream.IntStream.range(0, slotRaw.length).parallel().forEach { i =>
         var top = 0L
-        cs.foreach { c =>
+        slotRaw(i).foreach { c =>
           val v = dfsLocal.getOrElse(c, 0L); if (v > top) top = v
         }
-        (-top, cs.mkString(" "))
-      }.toIndexedSeq
+        tops(i) = top
+        joined(i) = slotRaw(i).mkString(" ")
+      }
+      val boxed = order.map(Integer.valueOf)
+      java.util.Arrays.sort(boxed, (a: Integer, b: Integer) =>
+        if (tops(a) != tops(b)) java.lang.Long.compare(tops(b), tops(a))
+        else joined(a).compareTo(joined(b)))
+      val out = new Array[Seq[String]](slotRaw.length)
+      val perm = new Array[Int](slotRaw.length)
+      var j = 0
+      while (j < boxed.length) {
+        out(j) = slotRaw(boxed(j).intValue())
+        perm(boxed(j).intValue()) = j
+        j += 1
+      }
+      java.util.stream.IntStream.range(0, qSlotRaw.length).parallel()
+        .forEach(i => qSlotRaw(i) = perm(qSlotRaw(i)))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
-    val slotOf: Map[Seq[String], Int] = distinctCodes.zipWithIndex.toMap
-    val qSlot: Seq[Int] = qCodes.map(slotOf)
-    val qIdf: IndexedSeq[Seq[(String, Double)]] =
-      distinctCodes.map(_.map(c => c -> idf(c)))
+    val qSlot: Array[Int] = qSlotRaw
+    val qIdf: IndexedSeq[Seq[(String, Double)]] = {
+      val out = new Array[Seq[(String, Double)]](distinctCodes.length)
+      java.util.stream.IntStream.range(0, distinctCodes.length).parallel()
+        .forEach(i => out(i) = distinctCodes(i).map(c => c -> idf(c)))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
     // ONE broadcast for the whole batch: each TorrentBroadcast carries a
     // fixed driver-side setup latency, and three of them (slot idfs, code
     // idfs, code set) were pure serial overhead per batch call.
@@ -1249,7 +1346,7 @@ final class SparkSearcher(
     }
     val scanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
       if (cacheOn || sys.env.get("GRAFT_BM25_SCAN").contains("slim"))
-        postings.select(slimCols: _*).as[BmBlockRow].rdd
+        slimBmScanRdd // planned once per searcher
       else
         postings
           .filter($"term".isInCollection(allCodes :+ IndexBuilder.DlStripTerm))
@@ -1315,6 +1412,11 @@ final class SparkSearcher(
               new ContribCache.Shard(base, dlOf, 48L * dlOf.size + 64)
             else null
           byTerm.foreach { case (code, bs) =>
+            // cache mode buffered EVERY term for the shard; if the shard
+            // turned out uncacheable (> 2^31 docId span), only the batch's
+            // own codes have idfs here — skip the rest (also avoids paying
+            // their decode for nothing)
+            if (sh != null || codeSet.contains(code)) {
             val sorted = if (bs.length > 1) bs.sortBy(_.firstDocId) else bs
             var n = 0
             sorted.foreach(n += _.nDocs)
@@ -1356,6 +1458,7 @@ final class SparkSearcher(
                 while (i < n) { di(i) = (ds(i) - base).toInt; i += 1 }
                 contribI(code) = (di, cs, cMax)
               } else contribL(code) = (java.util.Arrays.copyOf(ds, n), cs)
+            }
             }
           }
           if (sh != null) shard = ContribCache.put(ckey, sh)
@@ -1438,26 +1541,84 @@ final class SparkSearcher(
     // max entries with no re-accumulation and scores stay bit-identical.
     val kk = k
     val nCombine = math.max(2, spark.sparkContext.defaultParallelism)
-    val merged: FlatTopK =
-      if (perBucket.getNumPartitions == 0)
-        FlatTopK(new Array[Int](distinctCodes.length), Array.emptyLongArray,
-          Array.emptyDoubleArray)
+    // Combine level is ADAPTIVE: per-shard partials are Q_distinct×k upper
+    // bound; when the whole fan-in fits a modest driver budget, collect the
+    // shard partials DIRECTLY — the shard tasks then run at full width
+    // (several waves per core, stragglers absorbed), instead of being
+    // pipelined into one wave of #core-sized tasks whose slowest member
+    // sets the wall clock. The in-task pairwise combine only kicks in when
+    // the estimated fetch is big (many executors × many distinct slots —
+    // the 1000-executor case), where driver ingress is the scarcer
+    // resource.
+    val nParts = perBucket.getNumPartitions
+    val estFanInBytes = 16L * distinctCodes.length * kk * math.max(nParts, 1)
+    val partials: Array[FlatTopK] =
+      if (nParts == 0) Array.empty
+      else if (estFanInBytes <= (256L << 20)) perBucket.collect()
       else perBucket
         .coalesce(nCombine)
         .mapPartitions(ps => ps.reduceOption(mergeFlatTopK(_, _, kk)).iterator)
-        .reduce(mergeFlatTopK(_, _, kk))
+        .collect()
     mark("scoreJob")
-    val perSlot = new Array[Seq[(Long, Double)]](distinctCodes.length)
-    var off = 0
-    var si = 0
-    while (si < perSlot.length) {
-      val c = merged.counts(si)
-      val o0 = off
-      perSlot(si) = (0 until c).map(i => (merged.ids(o0 + i), merged.scores(o0 + i)))
-      off += c
-      si += 1
+    // Last merge level runs ON THE DRIVER as one parallel per-slot k-way
+    // selection over ≤nCombine partials. The former sequential pairwise
+    // .reduce was a serial tail that GREW with core count (nCombine−1
+    // merges of Q×k entries each — anti-scaling on the N-vs-4N pair);
+    // this is a single pass, parallel across slots, same total order
+    // (score desc, docId asc) so results are identical.
+    val nSlots = distinctCodes.length
+    val perSlot = new Array[Seq[(Long, Double)]](nSlots)
+    if (partials.isEmpty) java.util.Arrays.fill(
+      perSlot.asInstanceOf[Array[AnyRef]], Nil)
+    else {
+      val m = partials.length
+      val offs = Array.ofDim[Int](m, nSlots + 1)
+      var pi = 0
+      while (pi < m) {
+        val cs = partials(pi).counts
+        val o = offs(pi)
+        var i = 0
+        while (i < nSlots) { o(i + 1) = o(i) + cs(i); i += 1 }
+        pi += 1
+      }
+      java.util.stream.IntStream.range(0, nSlots).parallel().forEach { si =>
+        var total = 0
+        var p = 0
+        while (p < m) { total += partials(p).counts(si); p += 1 }
+        val take = math.min(kk, total)
+        if (take == 0) perSlot(si) = Nil
+        else {
+          val pos = new Array[Int](m)
+          val out = new Array[(Long, Double)](take)
+          var o = 0
+          while (o < take) {
+            var best = -1
+            var bs = 0.0
+            var bd = 0L
+            var p2 = 0
+            while (p2 < m) {
+              if (pos(p2) < partials(p2).counts(si)) {
+                val idx = offs(p2)(si) + pos(p2)
+                val s = partials(p2).scores(idx)
+                val d = partials(p2).ids(idx)
+                if (best < 0 || s > bs || (s == bs && d < bd)) {
+                  best = p2; bs = s; bd = d
+                }
+              }
+              p2 += 1
+            }
+            pos(best) += 1
+            out(o) = (bd, bs)
+            o += 1
+          }
+          perSlot(si) = scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+        }
+      }
     }
-    qSlot.map(perSlot)
+    val res = new Array[Seq[(Long, Double)]](qSlot.length)
+    java.util.stream.IntStream.range(0, qSlot.length).parallel()
+      .forEach(i => res(i) = perSlot(qSlot(i)))
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(res)
   }
 
   /** Single-query exact top-k with two-phase block-max WAND: phase 1 scores

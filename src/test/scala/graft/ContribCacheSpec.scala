@@ -88,19 +88,21 @@ class ContribCacheSpec extends AnyFunSuite {
     }
   }
 
-  test("tiny budget (unpublished / evicted shards) degrades to uncached, identical results") {
+  test("tiny budget (residency auto-fallback) degrades to the pruned scan, identical results") {
     val dir = java.nio.file.Files.createTempDirectory("graftcc3").toString
     buildInto(dir, 150)
     val ref = memOf(150)
     try {
       ContribCache.clear()
-      ContribCache.maxBytesOverride = Some(4096L) // smaller than any shard
+      // smaller than the driver-side residency estimate → the batch takes
+      // the InSet-pruned scan path and never touches the cache
+      ContribCache.maxBytesOverride = Some(4096L)
       val searcher = new SparkSearcher(spark, dir, Analyzer())
       val got = searcher.bm25TopKBatch(queries, 10)
       queries.zipWithIndex.foreach { case (q, i) =>
         assert(got(i) == ref.bm25TopK(q, 10), s"tiny-budget results diverge [$q]")
       }
-      assert(ContribCache.totalBytes <= 4096L, "budget exceeded")
+      assert(ContribCache.totalBytes == 0L, "cache touched despite failing the residency estimate")
       // zero budget = cache disabled entirely (the isin scan path)
       ContribCache.maxBytesOverride = Some(0L)
       val s2 = new SparkSearcher(spark, dir, Analyzer())
@@ -108,6 +110,42 @@ class ContribCacheSpec extends AnyFunSuite {
       queries.zipWithIndex.foreach { case (q, i) =>
         assert(got2(i) == ref.bm25TopK(q, 10), s"cache-off results diverge [$q]")
       }
+    } finally {
+      ContribCache.maxBytesOverride = None
+      ContribCache.clear()
+    }
+  }
+
+  test("LRU eviction across competing snapshots keeps results exact") {
+    // two snapshots of the SAME corpus in different dirs: distinct cache
+    // keys, equal footprints — under a budget equal to ONE snapshot's
+    // residency estimate, serving both forces evictions and re-decodes,
+    // all of which must stay bit-identical to the reference
+    val dirA = java.nio.file.Files.createTempDirectory("graftccA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graftccB").toString
+    buildInto(dirA, 150)
+    buildInto(dirB, 150)
+    val ref = memOf(150)
+    val snap = graft.spark.IndexStore.readSnapshot(dirA).get
+    val est = 12L * snap.totalPostings + 48L * snap.nDocs
+    try {
+      ContribCache.clear()
+      ContribCache.maxBytesOverride = Some(est)
+      val sA = new SparkSearcher(spark, dirA, Analyzer())
+      val sB = new SparkSearcher(spark, dirB, Analyzer())
+      val gotA = sA.bm25TopKBatch(queries, 10)
+      val gotB = sB.bm25TopKBatch(queries, 10)
+      val gotA2 = sA.bm25TopKBatch(queries, 10) // after B pushed A out (or not — either is legal)
+      queries.zipWithIndex.foreach { case (q, i) =>
+        val want = ref.bm25TopK(q, 10)
+        assert(gotA(i) == want, s"A under budget pressure diverges [$q]")
+        assert(gotB(i) == want, s"B under budget pressure diverges [$q]")
+        assert(gotA2(i) == want, s"A re-decode after eviction diverges [$q]")
+      }
+      // soft bound: eviction runs at publish time; promote growth after the
+      // final publish (≤ 4 B/posting of the batch's codes) lands between
+      // evictions, so allow that margin over the hard budget
+      assert(ContribCache.totalBytes <= est * 3 / 2, "eviction did not enforce the budget")
     } finally {
       ContribCache.maxBytesOverride = None
       ContribCache.clear()
