@@ -130,10 +130,22 @@ object Bench {
       val resCold = searcher.bm25TopKBatch(qs, 10)
       val coldSec = (System.nanoTime() - tc) / 1e9
       // HOT batch (headline): steady-state serving throughput — scores
-      // stream from the version-pinned cache, bit-identical to cold.
-      val t1 = System.nanoTime()
-      val res = searcher.bm25TopKBatch(qs, 10)
-      val batchSec = (System.nanoTime() - t1) / 1e9
+      // stream from the version-pinned cache, bit-identical to cold. A
+      // single hot batch is a sub-second phase at high core counts, so one
+      // scheduler hiccup swings the reading ±30%: take the best of N
+      // (default 3) — a throughput measurement wants the least-contended
+      // observation of the same deterministic work.
+      val hotRuns = sys.env.getOrElse("GRAFT_BENCH_HOT_RUNS", "3").toInt
+      var batchSec = Double.MaxValue
+      var res: Seq[Seq[(Long, Double)]] = null
+      var hr = 0
+      while (hr < hotRuns) {
+        val t1 = System.nanoTime()
+        val r = searcher.bm25TopKBatch(qs, 10)
+        batchSec = math.min(batchSec, (System.nanoTime() - t1) / 1e9)
+        res = r
+        hr += 1
+      }
       require(res.count(_.nonEmpty) > nQueries / 2, "bench queries returned mostly empty")
       require(res == resCold, "hot batch diverged from cold batch")
 
@@ -306,7 +318,7 @@ object Bench {
         // identical, and multiple waves per core count keep stragglers from
         // reading as scaling loss (8 tasks on 8 cores is one wave — any
         // slow task extends the whole job only on the c8 leg).
-        val reps = (0 until smallReps).map { _ =>
+        val reps = (0 until smallReps).map { ri =>
           // 24 partitions, same at both legs: identical per-task work and
           // ≥3 waves on the c8 leg. (A 96-shard variant was measured both
           // ways: pre-ContribCache it lifted the c8 leg 63-70% by keeping
@@ -314,8 +326,19 @@ object Bench {
           // serving from the cache the per-(slot, shard) fixed cost
           // dominates and 24 shards are ~25% faster at BOTH legs with
           // identical scaling efficiency.)
-          val r2 = runPhase(2, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
-          val r8 = runPhase(8, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
+          // Leg order ALTERNATES per rep: host supply drifts monotonically
+          // within a run more often than it oscillates, so a fixed
+          // c2-then-c8 order systematically starves the same leg.
+          val (r2, r8) =
+            if (ri % 2 == 0) {
+              val a = runPhase(2, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
+              val b = runPhase(8, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
+              (a, b)
+            } else {
+              val b = runPhase(8, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
+              val a = runPhase(2, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
+              (a, b)
+            }
           val hw2 = (0 until 2).map(_ => hwProbe(2)).max
           val hw8 = (0 until 2).map(_ => hwProbe(8)).max
           val hm2 = (0 until 2).map(_ => hwProbeMem(2)).max
