@@ -319,24 +319,24 @@ object Bench {
         // reading as scaling loss (8 tasks on 8 cores is one wave — any
         // slow task extends the whole job only on the c8 leg).
         val reps = (0 until smallReps).map { ri =>
-          // 24 partitions, same at both legs: identical per-task work and
-          // ≥3 waves on the c8 leg. (A 96-shard variant was measured both
-          // ways: pre-ContribCache it lifted the c8 leg 63-70% by keeping
-          // concurrent working sets L3-resident, but with the scorer
-          // serving from the cache the per-(slot, shard) fixed cost
-          // dominates and 24 shards are ~25% faster at BOTH legs with
-          // identical scaling efficiency.)
+          // 48 partitions, same at both legs: identical per-task work and
+          // 6 task waves on the c8 leg (24 on c2) — the scoring stage is
+          // now all-compute (ContribCache serving), so wave-granularity
+          // straggler smoothing is what the c8 leg is short of. Probe A/B
+          // vs 24 shards across two windows: query eff median 0.82 vs
+          // 0.77, absolute qps within noise of equal. (96 shards remain
+          // ~25% slower at both legs: per-(slot, shard) fixed cost.)
           // Leg order ALTERNATES per rep: host supply drifts monotonically
           // within a run more often than it oscillates, so a fixed
           // c2-then-c8 order systematically starves the same leg.
           val (r2, r8) =
             if (ri % 2 == 0) {
-              val a = runPhase(2, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
-              val b = runPhase(8, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
+              val a = runPhase(2, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 48)
+              val b = runPhase(8, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 48)
               (a, b)
             } else {
-              val b = runPhase(8, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
-              val a = runPhase(2, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 24)
+              val b = runPhase(8, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 48)
+              val a = runPhase(2, sPath, sDocs, sQueries, withSearch = false, shufflePartitions = 48)
               (a, b)
             }
           val hw2 = (0 until 2).map(_ => hwProbe(2)).max

@@ -13,11 +13,13 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryPairProbe {
 
+  private def parts: Int = sys.env.getOrElse("GRAFT_PROBE_PARTS", "24").toInt
+
   private def session(cpus: Int): SparkSession = {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-qprobe-$cpus")
-      .config("spark.sql.shuffle.partitions", "24")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",
@@ -56,7 +58,7 @@ object QueryPairProbe {
     val nDocs = sys.env.getOrElse("GRAFT_PROBE_DOCS", "400000").toLong
     val nQueries = sys.env.getOrElse("GRAFT_PROBE_QUERIES", "96000").toInt
     val reps = sys.env.getOrElse("GRAFT_PROBE_REPS", "3").toInt
-    val idxDir = s"${sys.props("java.io.tmpdir")}/graft-qprobe-idx-$nDocs"
+    val idxDir = s"${sys.props("java.io.tmpdir")}/graft-qprobe-idx-$nDocs-p$parts"
     val corpusPath = s"${sys.props("java.io.tmpdir")}/graft-bench-corpus-$nDocs"
 
     if (!new java.io.File(corpusPath + "/_SUCCESS").exists()) {
