@@ -281,7 +281,10 @@ object Bench {
     // query batch amortize the fixed per-job costs that would otherwise
     // read as scaling loss; 3 interleaved reps, best-of, per-rep samples
     // reported as evidence.
-    val smallReps = sys.env.getOrElse("GRAFT_BENCH_SMALL_REPS", "7").toInt
+    // 9 reps: per-rep raws span 0.43-1.09 under heavy host contention, so
+    // the median of 7 still moved ±0.04 between windows; two more reps
+    // (+~6 min) tighten it at no honesty cost (median, not best-of).
+    val smallReps = sys.env.getOrElse("GRAFT_BENCH_SMALL_REPS", "9").toInt
     val headlinePair: Seq[(String, Double)] =
       if (sys.env.get("GRAFT_BENCH_SMALL_PAIR").contains("0") || cpus < 8) Nil
       else {
