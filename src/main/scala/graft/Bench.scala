@@ -48,6 +48,36 @@ object Bench {
     walk(new java.io.File(p))
   }
 
+  /** Deterministic positional-search workload: the same 8 query shapes as
+    * rounds 1-3 (phrase, AND, OR, field filter, wildcard, nested phrase),
+    * with the query TERMS varied per repeat cycle so every generated string
+    * is distinct — searchBatch dedups identical requests, so the bench batch
+    * must not contain repeats. Shared with graft.tools.SearchProbe. */
+  def searchQueryBatch(n: Int): Seq[(String, graft.query.SearchOptions)] = {
+    // zipf-head word pairs per repeat cycle (cycle 0 = the historical mix)
+    val pairs = Vector(
+      ("merriment", "laughter"), ("running", "games"), ("winkle", "company"),
+      ("matrimony", "partnership"), ("national", "ladies"))
+    val wild = Vector("?ady?", "?unn?", "?ame?", "?ink?", "?tion?")
+    (0 until n).map { i =>
+      val r = (i / 8) % pairs.length
+      val (x, y) = pairs(r)
+      val q = (i % 8) match {
+        case 0 => if (r == 0) "\"old lady\"" else s""""old $x""""
+        case 1 => if (r == 0) "lady old" else s"$y old"
+        case 2 => if (r == 0) "and (tupman|old)" else s"and ($x|$y)"
+        case 3 => f"w${2 * r + 1}%04d w${2 * r + 2}%04d"
+        case 4 => s"$x $y"
+        case 5 => wild(r)
+        case 6 => if (r == 0) "game {Source=web}" else s"$x {Source=web}"
+        case 7 =>
+          if (r == 0) "\"old (lady|ladies) (who|were|looked)\""
+          else s""""old ($x|$y) (who|were|looked)""""
+      }
+      (q, graft.query.SearchOptions(dist = 40))
+    }
+  }
+
   /** deterministic 1,000-query workload over the generator vocabulary. */
   private def queryBatch(n: Int): Seq[Seq[String]] = {
     val rnd = new java.util.Random(4242)
@@ -149,14 +179,12 @@ object Bench {
       require(res.count(_.nonEmpty) > nQueries / 2, "bench queries returned mostly empty")
       require(res == resCold, "hot batch diverged from cold batch")
 
-      // positional search path (parity engine): 40 full queries in one batch
+      // positional search path (parity engine): 40 full queries in one batch.
+      // All 40 are DISTINCT strings — searchBatch collapses repeated
+      // (query, options) pairs, so a repeated mix would measure 1/5 of the
+      // claimed work.
       val searchSec = if (!withSearch) 0.0 else {
-        val searchQs = (0 until 40).map { i =>
-          val base = Seq("\"old lady\"", "lady old", "and (tupman|old)",
-            "w0001 w0002", "merriment laughter", "?ady?",
-            "game {Source=web}", "\"old (lady|ladies) (who|were|looked)\"")
-          (base(i % base.length), graft.query.SearchOptions(dist = 40))
-        }
+        val searchQs = Bench.searchQueryBatch(40)
         val t2 = System.nanoTime()
         searcher.searchBatch(searchQs)
         (System.nanoTime() - t2) / 1e9

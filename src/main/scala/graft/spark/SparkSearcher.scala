@@ -534,6 +534,22 @@ final class SparkSearcher(
   def searchBatch(reqs: Seq[(String, SearchOptions)],
                   withWordInfo: Boolean = false): Seq[SearchOut] = {
     if (reqs.isEmpty) return Nil
+    // identical (query, options) pairs are planned/evaluated/enriched ONCE
+    // and the shared SearchOut fanned back out (same policy as the BM25
+    // batch path) — a production batch mixes many callers and repeats are
+    // the common case
+    val distinctReqs = reqs.distinct
+    if (distinctReqs.length < reqs.length) {
+      val byReq = distinctReqs.zip(searchBatch(distinctReqs, withWordInfo)).toMap
+      return reqs.map(byReq)
+    }
+    val sbTiming = sys.env.contains("GRAFT_TIMING")
+    var sbT = System.nanoTime()
+    def sbMark(s: String): Unit = if (sbTiming) {
+      val now = System.nanoTime()
+      System.err.println(f"[graft-timing] searchBatch $s: ${(now - sbT) / 1e9}%.3fs")
+      sbT = now
+    }
 
     // plan all queries with ONE existence round-trip: prefetch the union of
     // candidate codes, then serve plan() from the map (wildcards still scan)
@@ -550,9 +566,11 @@ final class SparkSearcher(
       override def likeWords(regex: String, limit: Int): Seq[String] =
         SparkSearcher.this.likeWords(regex, limit)
     }
+    sbMark("resolve")
     val plans: Seq[QueryPlan] = parsedAll.zip(reqs).map { case (p, (_, o)) =>
       QueryPlanner.plan(p, analyzer, servedDict, o.dist)
     }
+    sbMark("plan")
     val allCodes = plans.flatMap(_.allCodes).distinct
     if (allCodes.isEmpty)
       return plans.map(qp => SearchOut(Nil, 0, qp.leaves.map(l => WordInfo(l.word, 0L))))
@@ -790,6 +808,7 @@ final class SparkSearcher(
           qi -> rows.iterator.flatMap(_._2).toArray.sorted.take(cap).toSet
         }
       }
+    sbMark("fieldPass")
     val fsB = spark.sparkContext.broadcast(fieldSets)
 
     // Distributed per-query selection: hash-shuffle the page-cap-cut eval
@@ -849,6 +868,7 @@ final class SparkSearcher(
         out.iterator
       }
       .collect()
+    sbMark("evalSelect")
     val selByQi: Map[Int, SelOutRow] = selected.iterator.map(r => r.qi -> r).toMap
 
     // texts + enrichment, one fetch for the union of kept docs
@@ -857,8 +877,12 @@ final class SparkSearcher(
       if (allKeptIds.isEmpty) Map.empty
       else docText.filter($"docId".isin(allKeptIds: _*))
         .collect().map(d => d.docId -> ResultAssembler.Texts(d.header, bodyPagesOf(d.body))).toMap
+    sbMark("textFetch")
 
-    plans.indices.map { qi =>
+    // snippet/rank enrichment is pure per query (immutable snapshot reads
+    // only) — run it across driver cores; it is the batch's last serial tail
+    val outArr = new Array[SearchOut](plans.length)
+    java.util.stream.IntStream.range(0, plans.length).parallel().forEach { qi =>
       val sel = selByQi.get(qi)
       val kept = mutable.ArrayBuffer.empty[ResultAssembler.Partial]
       sel.foreach(_.docs.foreach { d =>
@@ -873,9 +897,11 @@ final class SparkSearcher(
       val wi = plans(qi).leaves.zipWithIndex.map { case (l, i) =>
         WordInfo(l.word, if (i < sums.length) sums(i) else 0L)
       }
-      ResultAssembler.enrich(kept, nPages, textMap.get,
+      outArr(qi) = ResultAssembler.enrich(kept, nPages, textMap.get,
         c => presentDf.getOrElse(c, 0L), nDocs, avgdl, wi)
     }
+    sbMark("assemble")
+    outArr.toSeq
   }
 
   // ---------- BM25 top-k ----------

@@ -106,6 +106,25 @@ class SparkIdentitySpec extends AnyFunSuite {
     }
   }
 
+  test("searchBatch: repeated (query, options) pairs fan out the shared result") {
+    // the dedup fast path plans each distinct request once; every repeat
+    // position must still receive the full, correctly-ordered SearchOut
+    val distinct = goldenQueries.take(5)
+    val reqs = distinct ++ distinct.reverse ++ Seq(distinct(2), distinct(0))
+    val batch = searcher.searchBatch(reqs, withWordInfo = true)
+    assert(batch.length == reqs.length)
+    val canonical = distinct.map { case (q, o) => searcher.search(q, o, withWordInfo = true) }
+    val byReq = distinct.zip(canonical).toMap
+    reqs.zip(batch).foreach { case (req, b) =>
+      val a = byReq(req)
+      assert(a.nFoundPages == b.nFoundPages, s"[${req._1}] nFoundPages")
+      assert(a.docs.map(_.docId) == b.docs.map(_.docId), s"[${req._1}] docIds")
+      assert(a.docs.map(_.bm25) == b.docs.map(_.bm25), s"[${req._1}] bm25")
+      assert(a.words.map(w => (w.word, w.nFound)) ==
+        b.words.map(w => (w.word, w.nFound)), s"[${req._1}] word info")
+    }
+  }
+
   test("searchBatch: forced buffer compaction preserves results exactly") {
     // drive the amortized docId-count compaction (normally only reachable
     // past 2×(MaxFoundPages+1) hits per partition) on the small fixture;
