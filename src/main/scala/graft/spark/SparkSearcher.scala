@@ -122,6 +122,14 @@ final class BlockSpillBuffer(
   }
 }
 
+/** Per-partition block feed for the positional query paths: `rows` iterates
+  * the wanted terms' blocks; `shard` is the resident BlockCache entry when
+  * cache-served (its decoded metaMap replaces the per-batch meta decode),
+  * null on the filtered-scan path (meta blocks then ride `rows`). */
+private[spark] final class PartBlockSource(
+    val rows: Iterator[PostingBlockRow],
+    val shard: BlockCache.Shard)
+
 final class SparkSearcher(
     spark: SparkSession,
     indexDir: String,
@@ -148,13 +156,14 @@ final class SparkSearcher(
   // doc-shard invariant requires a file's blocks to stay in one task, and
   // parallelism comes from the file count (= build shuffle partitions),
   // not byte-range splitting.
-  locally {
+  @transient private val postingsDiskBytes: Long = {
     // Hadoop-FS probe (any filesystem); fails loudly if the postings dir
     // can't be enumerated — a silent 0 would collapse maxPartitionBytes to
     // its floor and byte-range-split the doc shards across tasks.
-    val maxFile = IndexBuilder.listParquetFiles(spark, s"$indexDir/postings")
-      .foldLeft(0L)((m, f) => math.max(m, f._2))
+    val files = IndexBuilder.listParquetFiles(spark, s"$indexDir/postings")
+    val maxFile = files.foldLeft(0L)((m, f) => math.max(m, f._2))
     IndexBuilder.postingsReadConfs(maxFile).foreach { case (k, v) => spark.conf.set(k, v) }
+    files.foldLeft(0L)(_ + _._2)
   }
 
   @transient lazy val termStats: Dataset[TermStatRow] = {
@@ -207,6 +216,66 @@ final class SparkSearcher(
   @transient private lazy val slimBmScanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
     postings.select($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls")
       .as[BmBlockRow].rdd
+
+  /** Content-pinned cache tag shared by ContribCache and BlockCache: binds
+    * the exact bytes on disk, not just (dir, version) — benches and tests
+    * rebuild indexes into the same directory (same v1), and a stale hit
+    * would silently serve the previous build. Parquet part files are
+    * UUID-stamped per write job, so hashing the snapshot's postings file
+    * list pins the content. */
+  @transient private lazy val contentTag: String = {
+    val files = snap.files.getOrElse("postings", Nil).mkString("|")
+    // nDocs/avgdl add content entropy for legacy dirs with no manifest
+    s"$indexDir@v${snap.version}:${files.hashCode.toHexString}:${files.length}:" +
+      s"${snap.nDocs}:${java.lang.Double.doubleToLongBits(snap.avgdl)}"
+  }
+
+  /** Full positional scan (every column), planned once per searcher — the
+    * BlockCache fill path. See [[BlockCache]] for the measurements. */
+  @transient private lazy val posScanRdd: org.apache.spark.rdd.RDD[PostingBlockRow] =
+    postings.rdd
+
+  /** Driver-side residency check: the full-shard fill only makes sense when
+    * the snapshot's encoded blocks can be RAM-resident across the executors
+    * (estimate: on-disk bytes × 1.6 for page decompression + row overhead).
+    * At 10^12 docs they cannot — positional queries keep the filtered
+    * parquet scan, which reads only the queried terms' pages. */
+  @transient private lazy val blockCacheFits: Boolean = {
+    val execs = math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1)
+    val est = postingsDiskBytes + (postingsDiskBytes >> 1) + (postingsDiskBytes >> 3)
+    est <= BlockCache.maxBytes * execs
+  }
+  private def useBlockCache: Boolean =
+    BlockCache.enabled && blockCacheFits && !sys.env.get("GRAFT_POS_SCAN").contains("isin")
+
+  /** Per-partition posting blocks for `wanted` terms (meta term NOT
+    * included in `wanted`): served from the executor-resident [[BlockCache]]
+    * when the snapshot fits (hot batches touch no parquet; doc meta comes
+    * pre-decoded from the shard), else the filtered parquet scan (meta
+    * blocks ride the row iterator when `withMeta`). Per-term block order
+    * (ascending firstDocId) is identical on both paths, and consumers are
+    * insensitive to cross-term order, so results are bit-identical. */
+  private def blockSource(wanted: Seq[String], withMeta: Boolean)
+      : org.apache.spark.rdd.RDD[PartBlockSource] =
+    if (useBlockCache) {
+      val tag = contentTag
+      // defensive dedup: isin() tolerates repeated values, the cache path
+      // would yield a repeated term's blocks twice
+      val wantedB = spark.sparkContext.broadcast(wanted.distinct.toArray)
+      posScanRdd.mapPartitionsWithIndex { (idx, it) =>
+        val key = tag + "#" + idx
+        var sh = BlockCache.get(key)
+        // miss: ONE full read of this shard's file (the scan iterator is
+        // lazy — on a hit it is never touched and no file is opened)
+        if (sh == null) sh = BlockCache.put(key, BlockCache.build(it))
+        Iterator.single(new PartBlockSource(
+          wantedB.value.iterator.flatMap(t => sh.blocksOf(t).iterator), sh))
+      }
+    } else {
+      val wanted2 = if (withMeta) wanted :+ IndexBuilder.MetaTerm else wanted
+      postings.filter($"term".isin(wanted2: _*)).rdd
+        .mapPartitions(it => Iterator.single(new PartBlockSource(it, null)))
+    }
 
   // ---- TermDict over the termstats table ----
   // per-lookup memo: existing() and the subsequent dfOf() for the same
@@ -327,8 +396,7 @@ final class SparkSearcher(
     val scoringCodes: Array[String] =
       qp.leaves.filter(_.field.isEmpty).flatMap(_.codes).distinct.toArray
 
-    val blocks = postings.filter(
-      $"term".isin((codes.toSeq :+ IndexBuilder.MetaTerm): _*))
+    val blocksRdd = blockSource(codes.toSeq, withMeta = true)
 
     // Doc-sharded index layout: all terms of a document live in the same
     // partition, so per-doc evaluation is a LOCAL mapPartitions (no shuffle).
@@ -341,7 +409,9 @@ final class SparkSearcher(
     val qpB = spark.sparkContext.broadcast(qp)
     val scoringB = spark.sparkContext.broadcast(scoringCodes)
     val wantInfo = withWordInfo
-    val evals: Dataset[EvalRow] = blocks.mapPartitions { it =>
+    val evals: Dataset[EvalRow] = spark.createDataset(blocksRdd.mapPartitions { srcIt =>
+      val src = srcIt.next()
+      val it = src.rows
       val q = qpB.value
       val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
       val metaRows = mutable.ArrayBuffer.empty[PostingBlockRow]
@@ -421,30 +491,35 @@ final class SparkSearcher(
       // the driver pull) is bounded by ~MaxFoundPages docs per partition
       // regardless of how broad the query is.
       val hitsArr = pre.filter(_._2.nonEmpty).sortBy(_._1)
-      val wantMeta = mutable.HashSet.empty[Long]
-      hitsArr.foreach(p => wantMeta += p._1)
-      val metaMap = mutable.HashMap.empty[Long, DocMetaRow]
-      metaRows.foreach { b =>
-        IndexBuilder.decodeMetaBlockFor(b, wantMeta.contains)
-          .foreach(md => metaMap(md.docId) = md)
-      }
+      val metaGet: Long => Option[DocMetaRow] =
+        if (src.shard != null) src.shard.metaMap.get _
+        else {
+          val wantMeta = mutable.HashSet.empty[Long]
+          hitsArr.foreach(p => wantMeta += p._1)
+          val metaMap = mutable.HashMap.empty[Long, DocMetaRow]
+          metaRows.foreach { b =>
+            IndexBuilder.decodeMetaBlockFor(b, wantMeta.contains)
+              .foreach(md => metaMap(md.docId) = md)
+          }
+          metaMap.get _
+        }
       val keep = ResultAssembler.pageCapPrefix[(Long, Array[Long], Boolean, Array[Long], Array[Long])](
         scala.collection.immutable.ArraySeq.unsafeWrapArray(hitsArr),
-        p => metaMap.get(p._1)
+        p => metaGet(p._1)
           .map(md => Ranker.pagesOf(p._2, md.pageIds.toArray, md.pageEnds.toArray).length)
           .getOrElse(0),
         Consts.MaxFoundPages)
       var i = 0
       while (i < keep) {
         val (docId, coords, fieldHit, leafCounts, tfs) = hitsArr(i)
-        metaMap.get(docId).foreach { md =>
+        metaGet(docId).foreach { md =>
           out += EvalRow(docId, coords, fieldHit, leafCounts, scoringB.value, tfs,
             md.name, md.pageIds, md.pageEnds, md.docLen)
         }
         i += 1
       }
       out.iterator
-    }
+    })
 
     // In-task global selection: repartition(1) is a HASH exchange — no
     // range-sampling job, so the eval scan runs ONCE (an orderBy here ran
@@ -580,12 +655,20 @@ final class SparkSearcher(
 
     val plansB = spark.sparkContext.broadcast(plans.toArray)
     val scoringBatch = spark.sparkContext.broadcast(scoringPer.toArray)
-    val blocks = postings.filter(
-      $"term".isin((allCodes :+ IndexBuilder.MetaTerm): _*))
+    val blocksRdd = blockSource(allCodes, withMeta = true)
     val wantInfo = withWordInfo
-    val evals: Dataset[(Int, EvalRow)] = blocks.mapPartitions { it =>
+    val evals: Dataset[(Int, EvalRow)] = spark.createDataset(blocksRdd.mapPartitions { srcIt =>
+      val src = srcIt.next()
+      val it = src.rows
       val ps = plansB.value
       val sc = scoringBatch.value
+      val pTiming = sys.env.contains("GRAFT_TIMING")
+      var pT = System.nanoTime()
+      def pMark(s: String): Unit = if (pTiming) {
+        val now = System.nanoTime()
+        System.err.println(f"[graft-timing] sbpart $s: ${(now - pT) / 1e9}%.3fs")
+        pT = now
+      }
       val metaRows = mutable.ArrayBuffer.empty[PostingBlockRow]
       val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
       val candQis = mutable.HashMap.empty[Long, Array[Int]]
@@ -595,7 +678,15 @@ final class SparkSearcher(
       // straight into the decode, no per-partition block buffer. Without
       // word info the two-pass form re-reads from a bounded spill buffer.
       val rows = if (wantInfo) null else new BlockSpillBuffer()
+      var metaBytes = 0L
+      var postBytes = 0L
+      var nRows = 0L
       it.foreach { b =>
+        if (pTiming) {
+          val n = b.docDeltas.length.toLong + b.tfs.length + b.dls.length + b.posDeltas.length
+          if (b.term == IndexBuilder.MetaTerm) metaBytes += n else postBytes += n
+          nRows += 1
+        }
         if (b.term == IndexBuilder.MetaTerm) metaRows += b
         else if (wantInfo)
           IndexBuilder.decodeBlockFor(b, _ => true).foreach { case (d, _, coords) =>
@@ -603,6 +694,7 @@ final class SparkSearcher(
           }
         else rows += b
       }
+      pMark(s"ingest rows=$nRows meta=${metaBytes / 1024}KB post=${postBytes / 1024}KB")
       if (wantInfo) byDoc.keysIterator.foreach(d => candQis(d) = allQis)
       else {
         // presence pass: (docId, tf) only — position bytes untouched
@@ -611,11 +703,13 @@ final class SparkSearcher(
           IndexBuilder.foreachDocId(b)(d =>
             present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term)
         }
+        pMark("presence")
         // which queries can each doc possibly satisfy (presence algebra)?
         present.foreach { case (d, ts) =>
           val qs = allQis.filter(qi => ps(qi).canMatch(ts.contains))
           if (qs.nonEmpty) candQis(d) = qs
         }
+        pMark("candQis")
         // position decode only for candidate docs
         rows.foreach { b =>
           IndexBuilder.decodeBlockFor(b, candQis.contains).foreach { case (d, _, coords) =>
@@ -623,6 +717,7 @@ final class SparkSearcher(
           }
         }
         rows.close()
+        pMark("posDecode")
       }
       // evaluate, grouped per query (rows without result coords never
       // survive downstream; they are dropped at the source)
@@ -675,14 +770,22 @@ final class SparkSearcher(
           }
         }
       }
-      // meta only for docs some query emitted
-      val wantMeta = mutable.HashSet.empty[Long]
-      perQi.foreach(_.foreach(p => wantMeta += p._1))
-      val metaMap = mutable.HashMap.empty[Long, DocMetaRow]
-      metaRows.foreach { b =>
-        IndexBuilder.decodeMetaBlockFor(b, wantMeta.contains)
-          .foreach(md => metaMap(md.docId) = md)
-      }
+      pMark("eval")
+      // meta only for docs some query emitted (cache-served shards carry
+      // the whole shard's meta pre-decoded)
+      val metaGet: Long => Option[DocMetaRow] =
+        if (src.shard != null) src.shard.metaMap.get _
+        else {
+          val wantMeta = mutable.HashSet.empty[Long]
+          perQi.foreach(_.foreach(p => wantMeta += p._1))
+          val metaMap = mutable.HashMap.empty[Long, DocMetaRow]
+          metaRows.foreach { b =>
+            IndexBuilder.decodeMetaBlockFor(b, wantMeta.contains)
+              .foreach(md => metaMap(md.docId) = md)
+          }
+          metaMap.get _
+        }
+      pMark("metaDecode")
       // per (query, partition) page-cap cut in docId order (same soundness
       // argument as the single-query path): bounds this partition's
       // contribution to the global sort — and the driver's residual drain —
@@ -698,14 +801,14 @@ final class SparkSearcher(
             wordSums(qi), Array.empty, Array.emptyLongArray, "", Nil, Nil, 0L)))
         val keep = ResultAssembler.pageCapPrefix[(Long, Array[Long], Boolean, Array[Long], Array[Long])](
           arr,
-          p => metaMap.get(p._1)
+          p => metaGet(p._1)
             .map(md => Ranker.pagesOf(p._2, md.pageIds.toArray, md.pageEnds.toArray).length)
             .getOrElse(0),
           Consts.MaxFoundPages)
         var i = 0
         while (i < keep) {
           val (docId, coords, fieldHit, leafCounts, tfs) = arr(i)
-          metaMap.get(docId).foreach { md =>
+          metaGet(docId).foreach { md =>
             out += ((qi, EvalRow(docId, coords, fieldHit, leafCounts, sc(qi), tfs,
               md.name, md.pageIds, md.pageEnds, md.docLen)))
           }
@@ -713,7 +816,7 @@ final class SparkSearcher(
         }
         out.iterator
       }
-    }
+    })
 
     // Field membership = the first 500 field-matching docs per query
     // (docId order). Computed by a SLIM pass over only the field-relevant
@@ -732,7 +835,9 @@ final class SparkSearcher(
         }.distinct.toSeq
         val fqB = spark.sparkContext.broadcast(fieldQis)
         val cap = Consts.MaxFoundDocs
-        val perPart = postings.filter($"term".isin(fCodes: _*)).mapPartitions { it =>
+        val fRdd = blockSource(fCodes, withMeta = false)
+        val perPart = fRdd.mapPartitions { srcIt =>
+          val it = srcIt.next().rows
           val ps = plansB.value
           // a broad field term ({Source=web} ≈ every doc) can put a whole
           // shard's field blocks in this pass: buffer them BOUNDED (64 MB
@@ -1359,17 +1464,8 @@ final class SparkSearcher(
     }
     val cacheOn = ContribCache.enabled && cacheFits &&
       !sys.env.get("GRAFT_BM25_SCAN").contains("isin")
-    // The tag binds CONTENT, not just (dir, version): benches and tests
-    // rebuild indexes into the same directory (same v1), and a stale hit
-    // would silently serve the previous build. Parquet part files are
-    // UUID-stamped per write job, so hashing the snapshot's postings file
-    // list pins the exact bytes on disk.
-    val cacheTag = {
-      val files = snap.files.getOrElse("postings", Nil).mkString("|")
-      // nDocs/avgdl add content entropy for legacy dirs with no manifest
-      s"$indexDir@v${snap.version}:${files.hashCode.toHexString}:${files.length}:" +
-        s"${snap.nDocs}:${java.lang.Double.doubleToLongBits(snap.avgdl)}"
-    }
+    // The tag binds CONTENT, not just (dir, version) — see contentTag.
+    val cacheTag = contentTag
     val scanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
       if (cacheOn || sys.env.get("GRAFT_BM25_SCAN").contains("slim"))
         slimBmScanRdd // planned once per searcher

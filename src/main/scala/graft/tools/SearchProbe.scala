@@ -32,7 +32,7 @@ object SearchProbe {
           val secs = (for (a <- i.completionTime; b <- i.submissionTime) yield (a - b) / 1e3).getOrElse(-1.0)
           val m = i.taskMetrics
           System.err.println(
-            f"[sprobe-stg] ${i.stageId}%3d wall=$secs%6.2fs tasks=${i.numTasks}%3d cpu=${m.executorCpuTime / 1e9}%6.2fs run=${m.executorRunTime / 1e3}%6.2fs resBytes=${m.resultSize / 1e6}%6.1fMB ${i.name.take(50)}")
+            f"[sprobe-stg] ${i.stageId}%3d wall=$secs%6.2fs tasks=${i.numTasks}%3d cpu=${m.executorCpuTime / 1e9}%6.2fs run=${m.executorRunTime / 1e3}%6.2fs gc=${m.jvmGCTime / 1e3}%5.2fs in=${m.inputMetrics.bytesRead / 1e6}%6.1fMB res=${m.resultSize / 1e6}%5.1fMB ${i.name.take(50)}")
         }
       })
     s
@@ -44,8 +44,9 @@ object SearchProbe {
     graft.Bench.searchQueryBatch(40)
 
   /** Structural rendering: PageHit.pos is an Array[Int], so case-class ==
-    * is reference equality there — render arrays as lists for comparison. */
-  private def canonical(o: graft.query.SearchOut): String = {
+    * is reference equality there — render arrays as lists for comparison.
+    * (Also used by graft.Bench's hot-vs-cold identity check.) */
+  def canonical(o: graft.query.SearchOut): String = {
     val docs = o.docs.map { d =>
       val pages = d.pages.map(p =>
         s"${p.pageId}|${p.pos.mkString(",")}|${p.rank}|${p.text}").mkString(";")
