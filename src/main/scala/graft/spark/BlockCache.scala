@@ -30,11 +30,15 @@ import java.util.concurrent.atomic.AtomicLong
   *    scan would produce), keyed by term; a served iteration is
   *    term-for-term identical to the filtered scan, so results are
   *    bit-identical by construction.
-  *  - File→partition assignment is deterministic for a fixed file set and
-  *    session confs (one task per postings file, sorted listing), and the
-  *    scan RDD is planned once per searcher; even under a permuted
-  *    assignment a miss only costs a refill, never wrong data (the key's
-  *    blocks were built from the partition the task actually read).
+  *  - File→partition assignment is a DETERMINISTIC function of the tagged
+  *    file list and the reader confs (one task per postings file, sorted
+  *    listing, fixed bin-packing), so within a content tag a partition id
+  *    always denotes the same shard file — a key can never alias two
+  *    different shards. (A hypothetical FULL permutation would still be
+  *    correct — results are the union over all partition ids, each covering
+  *    one whole shard — but a PARTIAL permutation with mixed hits/misses
+  *    would not be, which is why the tag pins the exact file list the
+  *    packing function is deterministic over.)
   *  - Budgeted: GRAFT_BLOCK_CACHE_MB (default 4096; 0 disables). Whole
   *    shards evict least-recently-used; a shard larger than the entire
   *    budget is returned for task-local use but never published. The

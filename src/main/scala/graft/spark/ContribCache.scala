@@ -21,10 +21,15 @@ import scala.collection.mutable
   *    are never rewritten under a version; new ingests commit new
   *    versions), so an entry can never go stale — a new snapshot simply
   *    uses new keys and the old ones age out via LRU.
-  *  - Entries hold PARTITION-relative data. Scoring is shard-local and a
-  *    job is the union over all partitions, so results are correct even
-  *    if Spark were to permute file->partition assignment between
-  *    sessions (each partition id still appears exactly once).
+  *  - Entries hold PARTITION-relative data, and file→partition assignment
+  *    is a deterministic function of the tagged file list and the reader
+  *    confs (one task per file, sorted listing, fixed bin-packing), so
+  *    within a tag a partition id always denotes the same shard file.
+  *    (A hypothetical FULL permutation would still be correct — scoring is
+  *    shard-local and a job is the union over all partition ids, each
+  *    covering one whole shard — but a PARTIAL permutation with mixed
+  *    hits/misses would not be, which is why the tag pins the exact file
+  *    list the packing function is deterministic over.)
   *  - `raw` holds (relIds, tfs) awaiting a term's idf (idf is known only
   *    for queried codes — the driver broadcasts it per batch); the first
   *    batch that queries a code promotes it to a score-ready `contrib`

@@ -710,9 +710,40 @@ final class SparkSearcher(
           if (qs.nonEmpty) candQis(d) = qs
         }
         pMark("candQis")
-        // position decode only for candidate docs
+        // Position decode only for candidate docs, and only for terms their
+        // candidate queries actually USE: a Zipf-head block (e.g. a top
+        // vocab word queried by one query) would otherwise decode position
+        // chains for every doc that is a candidate of ANY query in the
+        // batch. Query sets ride per-doc bitmasks (one Long word per 64
+        // queries); a doc decodes term t iff candMask(d) ∩ termMask(t) ≠ ∅.
+        // Every code a query scores/evaluates is in its allCodes, so the
+        // mask can never skip a (doc, term) pair some candidate query needs.
+        val nqWords = (ps.length + 63) >>> 6
+        val candMask = mutable.LongMap.empty[Array[Long]]
+        candQis.foreach { case (d, qs) =>
+          val m = new Array[Long](nqWords)
+          qs.foreach(qi => m(qi >>> 6) |= 1L << (qi & 63))
+          candMask(d) = m
+        }
+        val codeSets: Array[Set[String]] = ps.map(_.allCodes.toSet)
+        val termMask = mutable.HashMap.empty[String, Array[Long]]
         rows.foreach { b =>
-          IndexBuilder.decodeBlockFor(b, candQis.contains).foreach { case (d, _, coords) =>
+          val tm = termMask.getOrElseUpdate(b.term, {
+            val m = new Array[Long](nqWords)
+            var qi = 0
+            while (qi < ps.length) {
+              if (codeSets(qi).contains(b.term)) m(qi >>> 6) |= 1L << (qi & 63)
+              qi += 1
+            }
+            m
+          })
+          val want: Long => Boolean = d => candMask.get(d).exists { cm =>
+            var w = 0
+            var hit = false
+            while (w < nqWords && !hit) { hit = (cm(w) & tm(w)) != 0L; w += 1 }
+            hit
+          }
+          IndexBuilder.decodeBlockFor(b, want).foreach { case (d, _, coords) =>
             byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
           }
         }
