@@ -78,8 +78,10 @@ object Bench {
     }
   }
 
-  /** deterministic 1,000-query workload over the generator vocabulary. */
-  private def queryBatch(n: Int): Seq[Seq[String]] = {
+  /** Deterministic BM25 query workload over the generator vocabulary
+    * (shared with graft.tools.QueryPairProbe so the probe measures the
+    * bench's exact distribution). */
+  def queryBatch(n: Int): Seq[Seq[String]] = {
     val rnd = new java.util.Random(4242)
     val pick = Seq("old", "lady", "tupman", "merriment", "laughter", "game")
     (0 until n).map { _ =>

@@ -89,8 +89,9 @@ object ImageCodec {
           // Canvas = GIF logical screen (stream metadata), widened to cover
           // every frame's descriptor rectangle (offset + dims) — a first
           // frame smaller than the screen must not clip later frames.
-          var cw = logicalScreen(reader).map(_._1).getOrElse(0)
-          var ch = logicalScreen(reader).map(_._2).getOrElse(0)
+          val ls = logicalScreen(reader)
+          var cw = ls.map(_._1).getOrElse(0)
+          var ch = ls.map(_._2).getOrElse(0)
           val offs = new Array[(Int, Int)](n)
           var i = 0
           while (i < n) {

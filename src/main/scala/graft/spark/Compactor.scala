@@ -125,6 +125,10 @@ object Compactor {
       .repartition(shufflePartitions, $"term").sortWithinPartitions($"term")
       .write.mode("overwrite").parquet(s"$indexDir/$termStatsDir")
 
+    // ---- per-file lineage for the consolidated files ----
+    IndexStore.writeLineage(indexDir, version,
+      IndexBuilder.postingsFileMetrics(spark, postingsDir, s"postings/$tag"))
+
     // ---- commit ----
     IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
       version, snap.nDocs, snap.avgdl, snap.totalPostings,

@@ -129,8 +129,16 @@ object ContribCache {
     val it = byAge.iterator
     while (total.get() > budget && it.hasNext) {
       val e = it.next()
-      if (e.getKey != keep && shards.remove(e.getKey, e.getValue))
+      if (e.getKey != keep && shards.remove(e.getKey, e.getValue)) {
+        // un-publish FIRST: a task still holding this shard may promote
+        // after eviction, and a published flag left true would add deltas
+        // to a total whose shard bytes were already subtracted — a
+        // permanent upward drift that eventually evicts everything on
+        // every put. (A promote racing this window can still leak one
+        // delta; bounded per eviction, not cumulative.)
+        e.getValue.published = false
         total.addAndGet(-e.getValue.bytes.get())
+      }
     }
   }
 

@@ -514,6 +514,47 @@ object IndexBuilder {
     out.toSeq
   }
 
+  /** Per-file lineage metrics for a postings directory — the same
+    * aggregation the full build fuses into its global-scalar job (blocks =
+    * block rows, postings = Σ nPostings, docs = Σ meta-block doc counts,
+    * bytes = file length). Used by the streaming append and compaction
+    * commits so every snapshot version's files carry lineage, not just
+    * full builds'. Keys are `relPrefix/<fileName>` (manifest-relative). */
+  def postingsFileMetrics(spark: SparkSession, dir: String,
+                          relPrefix: String): Map[String, IndexStore.FileMetrics] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val parts = spark.read.parquet(dir)
+      .select($"term", $"nDocs", $"nPostings", input_file_name().as("file"))
+      .as[(String, Int, Long, String)]
+      .rdd
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        it.foreach { case (term, nd, np, file) =>
+          val pf = m.getOrElseUpdate(file, new Array[Long](3))
+          pf(0) += 1; pf(1) += np
+          if (term == MetaTerm) pf(2) += nd
+        }
+        Iterator.single(m.toMap)
+      }
+    val perFile =
+      if (parts.partitions.isEmpty) Map.empty[String, Array[Long]]
+      else parts.reduce { (a, b) =>
+        val merged = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        (a.iterator ++ b.iterator).foreach { case (f, v) =>
+          val t = merged.getOrElseUpdate(f, new Array[Long](3))
+          t(0) += v(0); t(1) += v(1); t(2) += v(2)
+        }
+        merged.toMap
+      }
+    val bytesOf = listParquetFiles(spark, dir)
+      .map { case (p, len) => p.substring(p.lastIndexOf('/') + 1) -> len }.toMap
+    perFile.map { case (uri, v) =>
+      val name = uri.substring(uri.lastIndexOf('/') + 1)
+      s"$relPrefix/$name" -> IndexStore.FileMetrics(v(0), v(1), v(2), bytesOf.getOrElse(name, -1L))
+    }
+  }
+
   def verifySingleRowGroup(spark: SparkSession, dir: String): Unit = {
     val files = listParquetFiles(spark, dir).map(_._1)
     if (files.isEmpty) return

@@ -262,7 +262,15 @@ object IndexStore {
     val expired = versions.filterNot(keepV)
     expired.foreach { v =>
       Files.deleteIfExists(root.resolve(s"manifest-v$v.json"))
-      Files.deleteIfExists(root.resolve(s"lineage-v$v.json"))
+      // a lineage file outlives its manifest while its described postings
+      // files are still referenced by a LIVE snapshot: incremental/
+      // streaming versions adopt an older build's files and write no
+      // lineage of their own, so deleting v's lineage with v's manifest
+      // would silently discard the per-file build metrics of data that is
+      // still serving queries
+      val lin = readLineage(indexDir, v)
+      if (lin.isEmpty || !lin.keys.exists(referenced.contains))
+        Files.deleteIfExists(root.resolve(s"lineage-v$v.json"))
     }
     // stage markers pointing at vacuumed dirs must not drive a resume
     Seq("doctext", "docmeta", "postings", "termstats").foreach { st =>

@@ -89,7 +89,8 @@ final case class BmBlockRow(
     nDocs: Int,
     docDeltas: Array[Byte],
     tfs: Array[Byte],
-    dls: Array[Byte])
+    dls: Array[Byte],
+    maxTf: Long)
 
 /** Term dictionary entry (df = doc freq, cf = collection freq). */
 final case class TermStatRow(term: String, df: Long, cf: Long)

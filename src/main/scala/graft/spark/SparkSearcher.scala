@@ -214,7 +214,7 @@ final class SparkSearcher(
     * per-batch driver cost that doesn't scale with executors. The
     * no-filter slim plan never varies across batches on a snapshot. */
   @transient private lazy val slimBmScanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
-    postings.select($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls")
+    postings.select($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls", $"maxTf")
       .as[BmBlockRow].rdd
 
   /** Content-pinned cache tag shared by ContribCache and BlockCache: binds
@@ -235,15 +235,31 @@ final class SparkSearcher(
   @transient private lazy val posScanRdd: org.apache.spark.rdd.RDD[PostingBlockRow] =
     postings.rdd
 
+  /** Per-executor heap cap for the resident caches: the env budgets
+    * (GRAFT_*_CACHE_MB) default to 4 GB EACH, and a mixed positional+BM25
+    * workload pins both caches on the same executors — without a heap
+    * check, two passing budget tests could jointly exceed the JVM. Each
+    * cache's effective budget is capped at 30% of executor heap (local
+    * master: this JVM's -Xmx; cluster: spark.executor.memory), so the two
+    * together stay under 60%. */
+  @transient private[spark] lazy val execHeapBytes: Long = {
+    val master = spark.sparkContext.master
+    if (master.startsWith("local")) Runtime.getRuntime.maxMemory()
+    else spark.sparkContext.getConf.getSizeAsBytes("spark.executor.memory", "1g")
+  }
+  private def heapCappedBudget(envBudget: Long): Long =
+    math.min(envBudget, execHeapBytes * 3 / 10)
+
   /** Driver-side residency check: the full-shard fill only makes sense when
     * the snapshot's encoded blocks can be RAM-resident across the executors
-    * (estimate: on-disk bytes × 1.6 for page decompression + row overhead).
-    * At 10^12 docs they cannot — positional queries keep the filtered
-    * parquet scan, which reads only the queried terms' pages. */
+    * (estimate: on-disk bytes × 1.6 for page decompression + row overhead,
+    * against the heap-capped budget). At 10^12 docs they cannot —
+    * positional queries keep the filtered parquet scan, which reads only
+    * the queried terms' pages. */
   @transient private lazy val blockCacheFits: Boolean = {
     val execs = math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1)
     val est = postingsDiskBytes + (postingsDiskBytes >> 1) + (postingsDiskBytes >> 3)
-    est <= BlockCache.maxBytes * execs
+    est <= heapCappedBudget(BlockCache.maxBytes) * execs
   }
   private def useBlockCache: Boolean =
     BlockCache.enabled && blockCacheFits && !sys.env.get("GRAFT_POS_SCAN").contains("isin")
@@ -1468,7 +1484,7 @@ final class SparkSearcher(
     // Per-doc accumulation order stays the sorted-code order (arrays are
     // visited in qCodes order, which resolveQueryCodesBatch sorts), so
     // scores remain bit-identical to the sequential reference scorer.
-    val slimCols = Seq($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls")
+    val slimCols = Seq($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls", $"maxTf")
     // Scan strategy:
     //  - default: slim no-filter scan + executor-resident ContribCache —
     //    a shard is fully decoded ONCE per snapshot (the non-scaling
@@ -1491,7 +1507,9 @@ final class SparkSearcher(
     val cacheFits = {
       val execs = math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1)
       val estBytes = 12L * snap.totalPostings + 48L * snap.nDocs
-      estBytes <= ContribCache.maxBytes * execs
+      // heap-capped: BlockCache may be resident on the same executors (a
+      // mixed positional+BM25 workload); each cache gets ≤30% of heap
+      estBytes <= heapCappedBudget(ContribCache.maxBytes) * execs
     }
     val cacheOn = ContribCache.enabled && cacheFits &&
       !sys.env.get("GRAFT_BM25_SCAN").contains("isin")
@@ -1537,6 +1555,12 @@ final class SparkSearcher(
           val dlOf = mutable.LongMap.empty[Long]
           var minDoc = Long.MaxValue
           var maxDoc = Long.MinValue
+          // tfs are stored as Ints in the cache; a block whose max tf
+          // exceeds that (2^31 tokens of one term in one doc — pathological
+          // but representable) makes the shard uncacheable rather than
+          // silently clamping and breaking the bit-identical-scores
+          // contract vs the uncached paths
+          var tfOk = true
           blocks0.foreach { b =>
             if (b.term == IndexBuilder.DlStripTerm)
               IndexBuilder.foreachDlStrip(b) { (d, dl) =>
@@ -1544,8 +1568,10 @@ final class SparkSearcher(
                 if (d < minDoc) minDoc = d
                 if (d > maxDoc) maxDoc = d
               }
-            else if (cacheOn || codeSet.contains(b.term))
+            else if (cacheOn || codeSet.contains(b.term)) {
+              if (b.maxTf > Int.MaxValue.toLong) tfOk = false
               byTerm.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
+            }
           }
           phaseMark("scan")
           // Contribution docIds are stored PARTITION-RELATIVE as Ints when
@@ -1561,7 +1587,7 @@ final class SparkSearcher(
           var ds = Array.emptyLongArray
           var tf = Array.emptyLongArray
           val sh =
-            if (cacheOn && intOk)
+            if (cacheOn && intOk && tfOk)
               new ContribCache.Shard(base, dlOf, 48L * dlOf.size + 64)
             else null
           byTerm.foreach { case (code, bs) =>
@@ -1590,7 +1616,7 @@ final class SparkSearcher(
               i = 0
               while (i < n) {
                 di(i) = (ds(i) - base).toInt
-                ti(i) = math.min(tf(i), Int.MaxValue.toLong).toInt
+                ti(i) = tf(i).toInt // safe: tfOk gated sh on maxTf <= Int.MaxValue
                 i += 1
               }
               sh.putRaw(code, di, ti)

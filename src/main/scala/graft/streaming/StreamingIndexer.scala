@@ -211,6 +211,20 @@ object StreamingIndexer {
         .filterNot(_.startsWith(s"$table/$batchTag/")) ++
         IndexStore.listTableFiles(indexDir, s"$table/$batchTag")
 
+    // per-file lineage for THIS version: the previous version's entries for
+    // every retained postings file + this batch's own files — appended
+    // snapshots carry complete lineage, not just full builds (metrics for
+    // adopted files would otherwise be lost once their build version is
+    // vacuumed).
+    locally {
+      val postingsFiles = tableFiles("postings").toSet
+      val prevLineage = baseSnap.map(s => IndexStore.readLineage(indexDir, s.version))
+        .getOrElse(Map.empty)
+      IndexStore.writeLineage(indexDir, version,
+        prevLineage.filter { case (f, _) => postingsFiles.contains(f) } ++
+          IndexBuilder.postingsFileMetrics(spark, postingsDir, s"postings/$batchTag"))
+    }
+
     // snapshot first, stream marker last: a crash between them replays the
     // batch, whose overwrites + re-commit are idempotent (same files, same
     // running sums derived from the same pre-batch marker state).

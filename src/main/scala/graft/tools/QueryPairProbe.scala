@@ -41,18 +41,9 @@ object QueryPairProbe {
     s
   }
 
-  private def queryBatch(n: Int): Seq[Seq[String]] = {
-    val rnd = new java.util.Random(4242)
-    val pick = Seq("old", "lady", "tupman", "merriment", "laughter", "game")
-    (0 until n).map { _ =>
-      val k = 2 + rnd.nextInt(3)
-      (0 until k).map { _ =>
-        if (rnd.nextInt(5) == 0) pick(rnd.nextInt(pick.length))
-        else graft.fixtures.PagesGen.vocabWord(
-          math.min(9999, math.exp(rnd.nextDouble() * math.log(10000.0)).toInt - 1).max(0))
-      }
-    }
-  }
+  // the bench's exact workload — reused, not copied, so a tweak to the
+  // bench distribution can never silently desynchronize the probe
+  private def queryBatch(n: Int): Seq[Seq[String]] = graft.Bench.queryBatch(n)
 
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("GRAFT_PROBE_DOCS", "400000").toLong
