@@ -42,6 +42,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(hit.text.nonEmpty, "snippet for a page >= 2 must resolve")
   }
 
+  test("lineage continuity: appended versions carry complete lineage; vacuum keeps referenced lineage") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graftlin").toString + "/idx"
+    val cfg = IndexBuilder.BuildConfig(bucketBits = 4)
+    // full build v1 over 40 docs
+    IndexBuilder.build(spark, graft.fixtures.PagesGen.pages(spark, 40, parts = 3).toDF(),
+      dir, cfg)
+    // append 20 new docs as batch 0 → v2 (adopts v1's postings files)
+    val delta = graft.fixtures.PagesGen.pages(spark, 60, parts = 2)
+      .filter(col("url").isin((40 until 60).map(i => graft.fixtures.PagesGen.urlFor(i.toLong)): _*))
+      .toDF()
+    assert(StreamingIndexer.appendBatch(spark, delta, dir, cfg, batchId = 0L) == 20L)
+    val snap2 = IndexStore.readSnapshot(dir).get
+    val lin2 = IndexStore.readLineage(dir, snap2.version)
+    val postFiles = snap2.files("postings").toSet
+    // the appended version's lineage covers every NON-EMPTY postings file
+    // it serves (retained build-v1 entries + the batch's own files; a
+    // 0-row part file carries no metrics, same as full-build lineage), and
+    // the metric sums conserve the snapshot totals — i.e. nothing that
+    // holds data is missing
+    assert(lin2.keySet.subsetOf(postFiles), "lineage names files outside the manifest")
+    assert(lin2.keys.exists(_.startsWith("postings/build-v1/")), "retained v1 entries missing")
+    assert(lin2.keys.exists(_.startsWith("postings/batch-0/")), "batch entries missing")
+    assert(lin2.values.forall(m => m.blocks > 0 && m.bytes > 0), "degenerate lineage metrics")
+    assert(lin2.values.map(_.docs).sum == snap2.nDocs,
+      s"lineage doc sum ${lin2.values.map(_.docs).sum} != snapshot nDocs ${snap2.nDocs}")
+    assert(lin2.values.map(_.postings).sum == snap2.totalPostings,
+      s"lineage postings sum != snapshot totalPostings ${snap2.totalPostings}")
+    // simulate a pre-change append (no per-version lineage): delete v2's
+    // lineage file, then vacuum keep=1 — v1's manifest expires but its
+    // lineage must SURVIVE because v2 still references build-v1's postings
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, s"lineage-v${snap2.version}.json"))
+    IndexStore.vacuum(dir, keep = 1)
+    assert(IndexStore.readLineage(dir, 1).nonEmpty,
+      "v1 lineage deleted while a live snapshot still references its postings files")
+  }
+
   test("streaming batches append; queries match reference over the union") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graftstream").toString
