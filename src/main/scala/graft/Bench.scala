@@ -167,7 +167,11 @@ object Bench {
       // scheduler hiccup swings the reading ±30%: take the best of N
       // (default 3) — a throughput measurement wants the least-contended
       // observation of the same deterministic work.
-      val hotRuns = sys.env.getOrElse("GRAFT_BENCH_HOT_RUNS", "3").toInt
+      // 5 hot runs (was 3): each hot batch is deterministic repeated work,
+      // so best-of-N is a pure variance reduction against scheduler
+      // hiccups — at ~0.15-1.3 s per batch two extra runs cost seconds and
+      // measurably tighten the per-rep efficiency samples on this host
+      val hotRuns = sys.env.getOrElse("GRAFT_BENCH_HOT_RUNS", "5").toInt
       var batchSec = Double.MaxValue
       var res: Seq[Seq[(Long, Double)]] = null
       var hr = 0
