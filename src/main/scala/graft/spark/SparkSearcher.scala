@@ -686,7 +686,16 @@ final class SparkSearcher(
         pT = now
       }
       val metaRows = mutable.ArrayBuffer.empty[PostingBlockRow]
-      val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
+      // dense per-partition code interning: presence rides per-doc bitmasks
+      // and decoded coords ride per-doc arrays indexed by code id — the
+      // boxed HashSet[String]-per-doc / nested-HashMap forms dominated this
+      // stage's allocation (GC 1-1.8 s per hot batch)
+      val codeArr: Array[String] = ps.iterator.flatMap(_.allCodes).toArray.distinct
+      val nCodes = codeArr.length
+      val cWords = (nCodes + 63) >>> 6
+      val codeIds = new java.util.HashMap[String, Integer](nCodes * 2)
+      codeArr.zipWithIndex.foreach { case (c, i) => codeIds.put(c, i) }
+      val byDoc = mutable.LongMap.empty[Array[Array[Long]]]
       val candQis = mutable.HashMap.empty[Long, Array[Int]]
       val allQis = ps.indices.toArray
       // with word info every doc is evaluated for every query (per-leaf
@@ -704,25 +713,40 @@ final class SparkSearcher(
           nRows += 1
         }
         if (b.term == IndexBuilder.MetaTerm) metaRows += b
-        else if (wantInfo)
-          IndexBuilder.decodeBlockFor(b, _ => true).foreach { case (d, _, coords) =>
-            byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
-          }
-        else rows += b
+        else if (wantInfo) {
+          val id = codeIds.get(b.term)
+          if (id != null)
+            IndexBuilder.decodeBlockFor(b, _ => true).foreach { case (d, _, coords) =>
+              byDoc.getOrElseUpdate(d, new Array[Array[Long]](nCodes))(id.intValue) = coords
+            }
+        } else rows += b
       }
       pMark(s"ingest rows=$nRows meta=${metaBytes / 1024}KB post=${postBytes / 1024}KB")
-      if (wantInfo) byDoc.keysIterator.foreach(d => candQis(d) = allQis)
+      if (wantInfo) byDoc.foreachKey(d => candQis(d) = allQis)
       else {
-        // presence pass: (docId, tf) only — position bytes untouched
-        val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
+        // presence pass: (docId, tf) only — position bytes untouched;
+        // per-doc presence is a code-id bitmask (zero allocation per
+        // posting, one small array per doc)
+        val present = mutable.LongMap.empty[Array[Long]]
         rows.foreach { b =>
-          IndexBuilder.foreachDocId(b)(d =>
-            present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term)
+          val id = codeIds.get(b.term)
+          if (id != null) {
+            val w = id.intValue >>> 6
+            val bit = 1L << (id.intValue & 63)
+            IndexBuilder.foreachDocId(b) { d =>
+              val m = present.getOrElseUpdate(d, new Array[Long](cWords))
+              m(w) |= bit
+            }
+          }
         }
         pMark("presence")
         // which queries can each doc possibly satisfy (presence algebra)?
-        present.foreach { case (d, ts) =>
-          val qs = allQis.filter(qi => ps(qi).canMatch(ts.contains))
+        present.foreach { case (d, mask) =>
+          val contains: String => Boolean = c => {
+            val i = codeIds.get(c)
+            i != null && (mask(i.intValue >>> 6) & (1L << (i.intValue & 63))) != 0L
+          }
+          val qs = allQis.filter(qi => ps(qi).canMatch(contains))
           if (qs.nonEmpty) candQis(d) = qs
         }
         pMark("candQis")
@@ -759,9 +783,11 @@ final class SparkSearcher(
             while (w < nqWords && !hit) { hit = (cm(w) & tm(w)) != 0L; w += 1 }
             hit
           }
-          IndexBuilder.decodeBlockFor(b, want).foreach { case (d, _, coords) =>
-            byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
-          }
+          val id = codeIds.get(b.term)
+          if (id != null)
+            IndexBuilder.decodeBlockFor(b, want).foreach { case (d, _, coords) =>
+              byDoc.getOrElseUpdate(d, new Array[Array[Long]](nCodes))(id.intValue) = coords
+            }
         }
         rows.close()
         pMark("posDecode")
@@ -794,8 +820,15 @@ final class SparkSearcher(
       val wordSums: Array[Array[Long]] =
         if (wantInfo) Array.tabulate(ps.length)(qi => new Array[Long](ps(qi).leaves.length))
         else null
-      byDoc.foreach { case (docId, m) =>
-        val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
+      byDoc.foreach { case (docId, arr) =>
+        val get = (c: String) => {
+          val i = codeIds.get(c)
+          if (i == null) Array.emptyLongArray
+          else {
+            val v = arr(i.intValue)
+            if (v == null) Array.emptyLongArray else v
+          }
+        }
         candQis(docId).foreach { qi =>
           val q = ps(qi)
           if (wantInfo) {
@@ -811,7 +844,7 @@ final class SparkSearcher(
             if (q.body.isEmpty) q.fields.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
             else body
           if (coords.nonEmpty) {
-            val tfs = sc(qi).map(c => m.get(c).map(_.length.toLong).getOrElse(0L))
+            val tfs = sc(qi).map(c => get(c).length.toLong)
             perQi(qi) += ((docId, coords, fieldHit, Array.emptyLongArray, tfs))
             if (perQi(qi).length >= compactTrigger) compact(qi)
           }
