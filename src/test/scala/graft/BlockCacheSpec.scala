@@ -110,6 +110,20 @@ class BlockCacheSpec extends AnyFunSuite {
       BlockCache.maxBytesOverride = Some(0L)
       val s2 = new SparkSearcher(spark, dir, Analyzer())
       assertVsRef(s2.searchBatch(queries, withWordInfo = false), ref, "cache off")
+      // withWordInfo on the SCAN path (the streaming-decode ingest branch
+      // only runs when the cache is off — tests default cache-on, so pin
+      // it here): per-leaf counts must equal the cache-served batch's
+      BlockCache.maxBytesOverride = None
+      val s3 = new SparkSearcher(spark, dir, Analyzer())
+      val wiCached = s3.searchBatch(queries, withWordInfo = true)
+      BlockCache.maxBytesOverride = Some(0L)
+      val s4 = new SparkSearcher(spark, dir, Analyzer())
+      val wiScan = s4.searchBatch(queries, withWordInfo = true)
+      wiCached.zip(wiScan).zip(queries).foreach { case ((a, b), (q, _)) =>
+        assert(a.words.map(w => (w.word, w.nFound)) ==
+          b.words.map(w => (w.word, w.nFound)), s"wordInfo scan-vs-cache [$q]")
+        assert(a.docs.map(_.docId) == b.docs.map(_.docId), s"wordInfo docs [$q]")
+      }
     } finally {
       BlockCache.maxBytesOverride = None
       BlockCache.clear()
