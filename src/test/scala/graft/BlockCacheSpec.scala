@@ -63,6 +63,9 @@ class BlockCacheSpec extends AnyFunSuite {
 
   test("hot searchBatch identical to cold and to the reference; cache populates") {
     BlockCache.clear()
+    // force-enable: the suite must stay green under GRAFT_BLOCK_CACHE_MB=0
+    // (serving-mode independence run) and this test is ABOUT the cache
+    BlockCache.maxBytesOverride = Some(4096L << 20)
     val dir = java.nio.file.Files.createTempDirectory("graftbc1").toString
     buildInto(dir, 150)
     val searcher = new SparkSearcher(spark, dir, Analyzer())
@@ -75,10 +78,12 @@ class BlockCacheSpec extends AnyFunSuite {
     // single-query path shares the cache
     val single = queries.map { case (q, o) => searcher.search(q, o, withWordInfo = false) }
     assertVsRef(single, ref, "single cache-served")
+    BlockCache.maxBytesOverride = None
   }
 
   test("rebuild into the same directory never serves stale block entries") {
     BlockCache.clear()
+    BlockCache.maxBytesOverride = Some(4096L << 20)
     val dir = java.nio.file.Files.createTempDirectory("graftbc2").toString
     buildInto(dir, 150)
     val s1 = new SparkSearcher(spark, dir, Analyzer())
@@ -91,6 +96,7 @@ class BlockCacheSpec extends AnyFunSuite {
     buildInto(dir, 70)
     val s2 = new SparkSearcher(spark, dir, Analyzer())
     assertVsRef(s2.searchBatch(queries, withWordInfo = false), memOf(70), "post-rebuild")
+    BlockCache.maxBytesOverride = None
   }
 
   test("tiny/zero budget degrades to the filtered scan, identical results") {
@@ -113,7 +119,7 @@ class BlockCacheSpec extends AnyFunSuite {
       // withWordInfo on the SCAN path (the streaming-decode ingest branch
       // only runs when the cache is off — tests default cache-on, so pin
       // it here): per-leaf counts must equal the cache-served batch's
-      BlockCache.maxBytesOverride = None
+      BlockCache.maxBytesOverride = Some(4096L << 20)
       val s3 = new SparkSearcher(spark, dir, Analyzer())
       val wiCached = s3.searchBatch(queries, withWordInfo = true)
       BlockCache.maxBytesOverride = Some(0L)
@@ -140,7 +146,7 @@ class BlockCacheSpec extends AnyFunSuite {
     // evictions and refills, all of which must stay identical
     val oneSnapshot = {
       BlockCache.clear()
-      BlockCache.maxBytesOverride = None
+      BlockCache.maxBytesOverride = Some(4096L << 20)
       val s = new SparkSearcher(spark, dirA, Analyzer())
       s.searchBatch(queries.take(1), withWordInfo = false)
       BlockCache.totalBytes

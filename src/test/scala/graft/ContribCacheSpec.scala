@@ -43,6 +43,9 @@ class ContribCacheSpec extends AnyFunSuite {
 
   test("hot batch bit-identical to cold; cache populates and is version-pinned") {
     ContribCache.clear()
+    // force-enable: the suite must stay green under GRAFT_CONTRIB_CACHE_MB=0
+    // (serving-mode independence run) and this test is ABOUT the cache
+    ContribCache.maxBytesOverride = Some(4096L << 20)
     val dir = java.nio.file.Files.createTempDirectory("graftcc1").toString
     buildInto(dir, 150)
     val searcher = new SparkSearcher(spark, dir, Analyzer())
@@ -63,10 +66,12 @@ class ContribCacheSpec extends AnyFunSuite {
       assert(r2(i) == ref.bm25TopK(q, 10), s"post-publish promotion diverges [$q]")
     }
     assert(ContribCache.totalBytes >= t1, "promotion growth not accounted")
+    ContribCache.maxBytesOverride = None
   }
 
   test("rebuild into the same directory never serves stale cache entries") {
     ContribCache.clear()
+    ContribCache.maxBytesOverride = Some(4096L << 20)
     val dir = java.nio.file.Files.createTempDirectory("graftcc2").toString
     buildInto(dir, 150)
     val s1 = new SparkSearcher(spark, dir, Analyzer())
@@ -86,6 +91,7 @@ class ContribCacheSpec extends AnyFunSuite {
     queries.zipWithIndex.foreach { case (q, i) =>
       assert(got(i) == ref.bm25TopK(q, 10), s"stale cache entry served after rebuild [$q]")
     }
+    ContribCache.maxBytesOverride = None
   }
 
   test("tiny budget (residency auto-fallback) degrades to the pruned scan, identical results") {
