@@ -1,8 +1,5 @@
 package graft.spark
 
-import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicLong
-
 /** Executor-resident, version-pinned cache of a doc shard's ENCODED posting
   * blocks for the positional query paths (`search` / `searchBatch` and the
   * batch field-membership pass) — the positional sibling of [[ContribCache]].
@@ -46,17 +43,9 @@ import java.util.concurrent.atomic.AtomicLong
   *    snapshot's postings cannot be RAM-resident across the executors
   *    (the 10^12-doc case) — see `SparkSearcher.blockCacheFits`.
   */
-object BlockCache {
+object BlockCache extends ShardCache[BlockShard] {
 
-  final class Shard(byTerm: java.util.HashMap[String, Array[PostingBlockRow]],
-                    val metaMap: scala.collection.mutable.LongMap[DocMetaRow],
-                    val bytes: Long) {
-    @volatile var lastUsed: Long = System.nanoTime()
-    def blocksOf(term: String): Array[PostingBlockRow] = {
-      val a = byTerm.get(term)
-      if (a == null) Array.empty else a
-    }
-  }
+  type Shard = BlockShard
 
   /** Build a shard entry from a partition's full block stream, preserving
     * arrival order per term (the scan's order — decode relies on ascending
@@ -66,7 +55,7 @@ object BlockCache {
     * every batch (the r3 VERDICT's "re-decodes \0md blocks per batch"),
     * so it moves into the one-time fill; the encoded meta blocks
     * themselves are not retained. */
-  def build(it: Iterator[PostingBlockRow]): Shard = {
+  def build(it: Iterator[PostingBlockRow]): BlockShard = {
     val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingBlockRow]]()
     val metaMap = scala.collection.mutable.LongMap.empty[DocMetaRow]
     var bytes = 0L
@@ -86,48 +75,21 @@ object BlockCache {
     }
     val byTerm = new java.util.HashMap[String, Array[PostingBlockRow]](tmp.size() * 2)
     tmp.forEach((t, buf) => byTerm.put(t, buf.toArray))
-    new Shard(byTerm, metaMap, bytes)
+    new BlockShard(byTerm, metaMap, bytes)
   }
 
-  private val envMaxBytes: Long =
+  protected def envBudgetBytes: Long =
     sys.env.get("GRAFT_BLOCK_CACHE_MB").map(_.toLong << 20).getOrElse(4096L << 20)
-  /** Test hook: overrides the env budget (single-JVM tests can't vary env). */
-  @volatile var maxBytesOverride: Option[Long] = None
-  def maxBytes: Long = maxBytesOverride.getOrElse(envMaxBytes)
-  def enabled: Boolean = maxBytes > 0
+}
 
-  private val shards = new ConcurrentHashMap[String, Shard]()
-  private val total = new AtomicLong(0L)
-
-  def get(key: String): Shard = {
-    val s = shards.get(key)
-    if (s != null) s.lastUsed = System.nanoTime()
-    s
+/** One doc shard's encoded blocks keyed by term + its pre-decoded meta. */
+private[spark] final class BlockShard(
+    byTerm: java.util.HashMap[String, Array[PostingBlockRow]],
+    val metaMap: scala.collection.mutable.LongMap[DocMetaRow],
+    val bytes: Long) extends CachedShard {
+  def cacheBytes: Long = bytes
+  def blocksOf(term: String): Array[PostingBlockRow] = {
+    val a = byTerm.get(term)
+    if (a == null) Array.empty else a
   }
-
-  /** Publish a freshly-built shard, evicting LRU entries to fit budget.
-    * Returns the canonical instance (first publisher wins on a race). */
-  def put(key: String, sh: Shard): Shard = {
-    if (sh.bytes > maxBytes) return sh // oversized: task-local use only
-    val prev = shards.putIfAbsent(key, sh)
-    if (prev != null) return prev
-    val newTotal = total.addAndGet(sh.bytes)
-    if (newTotal > maxBytes) evictTo(maxBytes, keep = key)
-    sh
-  }
-
-  private def evictTo(budget: Long, keep: String): Unit = synchronized {
-    import scala.jdk.CollectionConverters._
-    val byAge = shards.entrySet().asScala.toSeq.sortBy(_.getValue.lastUsed)
-    val it = byAge.iterator
-    while (total.get() > budget && it.hasNext) {
-      val e = it.next()
-      if (e.getKey != keep && shards.remove(e.getKey, e.getValue))
-        total.addAndGet(-e.getValue.bytes)
-    }
-  }
-
-  /** Test/ops hook: drop everything. */
-  def clear(): Unit = { shards.clear(); total.set(0L) }
-  def totalBytes: Long = total.get()
 }

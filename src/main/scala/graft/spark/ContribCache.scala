@@ -2,6 +2,7 @@ package graft.spark
 
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
+
 import scala.collection.mutable
 
 /** Executor-resident, version-pinned cache of decoded per-shard postings
@@ -39,110 +40,62 @@ import scala.collection.mutable
   *    shards are evicted least-recently-used; a shard larger than the
   *    whole budget is simply not published.
   */
-object ContribCache {
+object ContribCache extends ShardCache[ContribShard] {
 
-  final class Shard(val base: Long, val dlOf: mutable.LongMap[Long], dlBytes: Long) {
-    /** code -> (partition-relative docIds asc, raw tfs) awaiting idf. */
-    val raw = new ConcurrentHashMap[String, (Array[Int], Array[Int])]()
-    /** code -> (relIds, per-doc BM25 contribution, max contribution). */
-    val contrib = new ConcurrentHashMap[String, (Array[Int], Array[Double], Double)]()
-    val bytes = new AtomicLong(dlBytes)
-    /** set once by put() after a successful publish: post-publish growth
-      * (promote's score arrays) must also flow into the global total. */
-    @volatile private[spark] var published = false
-    @volatile var lastUsed: Long = System.nanoTime()
+  type Shard = ContribShard
 
-    def putRaw(code: String, ids: Array[Int], tfs: Array[Int]): Unit = {
-      if (raw.putIfAbsent(code, (ids, tfs)) == null)
-        bytes.addAndGet(8L * ids.length + 64 + code.length)
-    }
-
-    /** Promote a queried code to score-ready form (drops its raw tfs). */
-    def promote(code: String, idf: Double, avgdl: Double): (Array[Int], Array[Double], Double) = {
-      val have = contrib.get(code)
-      if (have != null) return have
-      val r = raw.get(code)
-      if (r == null) return null
-      val (ids, tfs) = r
-      val n = ids.length
-      val cs = new Array[Double](n)
-      var cMax = 0.0
-      var i = 0
-      while (i < n) {
-        val c = idf * graft.query.Ranker.bm25TfNorm(tfs(i).toLong,
-          dlOf.getOrElse(base + ids(i), 1L), avgdl)
-        cs(i) = c
-        if (c > cMax) cMax = c
-        i += 1
-      }
-      val v = (ids, cs, cMax)
-      val prev = contrib.putIfAbsent(code, v)
-      if (prev != null) prev
-      else {
-        // ids array is shared between raw and contrib; net delta = cs - tfs
-        val delta = 8L * n - 4L * n
-        bytes.addAndGet(delta)
-        // keep the global budget honest for promotions that land AFTER the
-        // shard was published (put() snapshots bytes at insert time). The
-        // published/insert window can leak a few promote deltas — the
-        // budget is a soft bound; per-shard bytes stay exact for eviction.
-        if (published) total.addAndGet(delta)
-        raw.remove(code)
-        v
-      }
-    }
-  }
-
-  private val envMaxBytes: Long =
+  protected def envBudgetBytes: Long =
     sys.env.get("GRAFT_CONTRIB_CACHE_MB").map(_.toLong << 20).getOrElse(4096L << 20)
-  /** Test hook: overrides the env budget when set (single-JVM tests can't
-    * vary process env per-case). */
-  @volatile var maxBytesOverride: Option[Long] = None
-  def maxBytes: Long = maxBytesOverride.getOrElse(envMaxBytes)
-  def enabled: Boolean = maxBytes > 0
+}
 
-  private val shards = new ConcurrentHashMap[String, Shard]()
-  private val total = new AtomicLong(0L)
+/** One doc shard's decoded (docId, tf) postings, partition-relative, plus
+  * its dl strips; queried codes promote to score-ready contribution
+  * arrays. */
+private[spark] final class ContribShard(
+    val base: Long, val dlOf: mutable.LongMap[Long], dlBytes: Long)
+  extends CachedShard {
+  /** code -> (partition-relative docIds asc, raw tfs) awaiting idf. */
+  val raw = new ConcurrentHashMap[String, (Array[Int], Array[Int])]()
+  /** code -> (relIds, per-doc BM25 contribution, max contribution). */
+  val contrib = new ConcurrentHashMap[String, (Array[Int], Array[Double], Double)]()
+  val bytes = new AtomicLong(dlBytes)
+  def cacheBytes: Long = bytes.get()
 
-  def get(key: String): Shard = {
-    val s = shards.get(key)
-    if (s != null) s.lastUsed = System.nanoTime()
-    s
+  def putRaw(code: String, ids: Array[Int], tfs: Array[Int]): Unit = {
+    if (raw.putIfAbsent(code, (ids, tfs)) == null)
+      bytes.addAndGet(8L * ids.length + 64 + code.length)
   }
 
-  /** Publish a freshly-built shard, evicting LRU entries to fit budget.
-    * Returns the canonical instance (first publisher wins on a race). */
-  def put(key: String, sh: Shard): Shard = {
-    val sz = sh.bytes.get()
-    if (sz > maxBytes) return sh // oversized: task-local use only
-    val prev = shards.putIfAbsent(key, sh)
-    if (prev != null) return prev
-    sh.published = true
-    val newTotal = total.addAndGet(sz)
-    if (newTotal > maxBytes) evictTo(maxBytes, keep = key)
-    sh
-  }
-
-  private def evictTo(budget: Long, keep: String): Unit = synchronized {
-    import scala.jdk.CollectionConverters._
-    val byAge = shards.entrySet().asScala.toSeq.sortBy(_.getValue.lastUsed)
-    val it = byAge.iterator
-    while (total.get() > budget && it.hasNext) {
-      val e = it.next()
-      if (e.getKey != keep && shards.remove(e.getKey, e.getValue)) {
-        // un-publish FIRST: a task still holding this shard may promote
-        // after eviction, and a published flag left true would add deltas
-        // to a total whose shard bytes were already subtracted — a
-        // permanent upward drift that eventually evicts everything on
-        // every put. (A promote racing this window can still leak one
-        // delta; bounded per eviction, not cumulative.)
-        e.getValue.published = false
-        total.addAndGet(-e.getValue.bytes.get())
-      }
+  /** Promote a queried code to score-ready form (drops its raw tfs). */
+  def promote(code: String, idf: Double, avgdl: Double): (Array[Int], Array[Double], Double) = {
+    val have = contrib.get(code)
+    if (have != null) return have
+    val r = raw.get(code)
+    if (r == null) return null
+    val (ids, tfs) = r
+    val n = ids.length
+    val cs = new Array[Double](n)
+    var cMax = 0.0
+    var i = 0
+    while (i < n) {
+      val c = idf * graft.query.Ranker.bm25TfNorm(tfs(i).toLong,
+        dlOf.getOrElse(base + ids(i), 1L), avgdl)
+      cs(i) = c
+      if (c > cMax) cMax = c
+      i += 1
+    }
+    val v = (ids, cs, cMax)
+    val prev = contrib.putIfAbsent(code, v)
+    if (prev != null) prev
+    else {
+      // ids array is shared between raw and contrib; net delta = cs - tfs
+      val delta = 8L * n - 4L * n
+      bytes.addAndGet(delta)
+      // post-publish growth flows into the cache's global total while the
+      // shard is still published (ShardCache handles the evicted case)
+      ContribCache.notePublishedGrowth(this, delta)
+      raw.remove(code)
+      v
     }
   }
-
-  /** Test/ops hook: drop everything. */
-  def clear(): Unit = { shards.clear(); total.set(0L) }
-  def totalBytes: Long = total.get()
 }

@@ -272,6 +272,21 @@ object IndexStore {
       if (lin.isEmpty || !lin.keys.exists(referenced.contains))
         Files.deleteIfExists(root.resolve(s"lineage-v$v.json"))
     }
+    // sweep lineage files retained past their manifest's expiry by the rule
+    // above (their version no longer appears in listVersions, so the loop
+    // never revisits them): once no live snapshot references their files —
+    // e.g. after a compaction rewrote the postings — they are orphans
+    val LineageRe = "lineage-v(\\d+)\\.json".r
+    val manifestV = versions.toSet
+    Files.list(root).iterator().asScala
+      .map(_.getFileName.toString)
+      .flatMap(n => LineageRe.findFirstMatchIn(n).map(_.group(1).toInt))
+      .filterNot(manifestV.contains)
+      .foreach { v =>
+        val lin = readLineage(indexDir, v)
+        if (lin.isEmpty || !lin.keys.exists(referenced.contains))
+          Files.deleteIfExists(root.resolve(s"lineage-v$v.json"))
+      }
     // stage markers pointing at vacuumed dirs must not drive a resume
     Seq("doctext", "docmeta", "postings", "termstats").foreach { st =>
       readStageDetail(indexDir, st, "dir").foreach { d =>

@@ -156,14 +156,14 @@ final class SparkSearcher(
   // doc-shard invariant requires a file's blocks to stay in one task, and
   // parallelism comes from the file count (= build shuffle partitions),
   // not byte-range splitting.
-  @transient private val postingsDiskBytes: Long = {
+  @transient private val (postingsDiskBytes, maxPostingsFile): (Long, Long) = {
     // Hadoop-FS probe (any filesystem); fails loudly if the postings dir
     // can't be enumerated — a silent 0 would collapse maxPartitionBytes to
     // its floor and byte-range-split the doc shards across tasks.
     val files = IndexBuilder.listParquetFiles(spark, s"$indexDir/postings")
     val maxFile = files.foldLeft(0L)((m, f) => math.max(m, f._2))
     IndexBuilder.postingsReadConfs(maxFile).foreach { case (k, v) => spark.conf.set(k, v) }
-    files.foldLeft(0L)(_ + _._2)
+    (files.foldLeft(0L)(_ + _._2), maxFile)
   }
 
   @transient lazy val termStats: Dataset[TermStatRow] = {
@@ -209,13 +209,33 @@ final class SparkSearcher(
   @transient private lazy val postings = readTable("postings", "postings").as[PostingBlockRow]
   @transient private lazy val docText = readTable("doctext", "doctext").as[DocTextRow]
 
-  /** BM25 batch slim scan, planned ONCE per searcher: a Dataset→RDD
+  /** Both no-filter scan RDDs, planned ONCE per searcher (a Dataset→RDD
     * conversion runs Catalyst analysis/optimization per call — a fixed
-    * per-batch driver cost that doesn't scale with executors. The
-    * no-filter slim plan never varies across batches on a snapshot. */
-  @transient private lazy val slimBmScanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
-    postings.select($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls", $"maxTf")
+    * per-batch driver cost that doesn't scale with executors), under THIS
+    * snapshot's reader confs, RE-ASSERTED immediately before planning:
+    * the packing confs are session-global and another searcher's
+    * constructor may have overwritten them since ours ran — a plan made
+    * under foreign confs could split or re-pack the shard files, and a
+    * cache key that doesn't reflect the packing would alias entries built
+    * from different shard content. The conf values read back at plan time
+    * join the cache tags (`packTag`), so even a racing conf write degrades
+    * to a different tag (a refill), never to aliased data. */
+  @transient private lazy val plannedScans
+      : (org.apache.spark.rdd.RDD[PostingBlockRow], org.apache.spark.rdd.RDD[BmBlockRow], String) = {
+    IndexBuilder.postingsReadConfs(maxPostingsFile).foreach { case (k, v) => spark.conf.set(k, v) }
+    val pos = postings.rdd
+    val slim = postings
+      .select($"term", $"firstDocId", $"nDocs", $"docDeltas", $"tfs", $"dls", $"maxTf")
       .as[BmBlockRow].rdd
+    val pack = Seq("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+      .map(k => spark.conf.getOption(k).getOrElse("")).mkString("|")
+    (pos, slim, ":p" + pack.hashCode.toHexString)
+  }
+  @transient private lazy val slimBmScanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
+    plannedScans._2
+  /** contentTag + the packing suffix — the tag every executor-resident
+    * cache key derives from. */
+  @transient private lazy val scanTag: String = contentTag + plannedScans._3
 
   /** Content-pinned cache tag shared by ContribCache and BlockCache: binds
     * the exact bytes on disk, not just (dir, version) — benches and tests
@@ -231,9 +251,9 @@ final class SparkSearcher(
   }
 
   /** Full positional scan (every column), planned once per searcher — the
-    * BlockCache fill path. See [[BlockCache]] for the measurements. */
+    * BlockCache fill path. See [[BlockCache]] and [[plannedScans]]. */
   @transient private lazy val posScanRdd: org.apache.spark.rdd.RDD[PostingBlockRow] =
-    postings.rdd
+    plannedScans._1
 
   /** Per-executor heap cap for the resident caches: the env budgets
     * (GRAFT_*_CACHE_MB) default to 4 GB EACH, and a mixed positional+BM25
@@ -257,9 +277,13 @@ final class SparkSearcher(
     * positional queries keep the filtered parquet scan, which reads only
     * the queried terms' pages. */
   @transient private lazy val blockCacheFits: Boolean = {
-    val execs = math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1)
+    // ONE executor's budget must hold the snapshot: Spark schedules any
+    // partition on any executor, so per-executor cache demand converges to
+    // the full snapshot over successive batches — admitting est <= budget
+    // × executors would LRU-thrash (every batch refills whole shards,
+    // costlier than the filtered scan this cache replaces)
     val est = postingsDiskBytes + (postingsDiskBytes >> 1) + (postingsDiskBytes >> 3)
-    est <= heapCappedBudget(BlockCache.maxBytes) * execs
+    est <= heapCappedBudget(BlockCache.maxBytes)
   }
   private def useBlockCache: Boolean =
     BlockCache.enabled && blockCacheFits && !sys.env.get("GRAFT_POS_SCAN").contains("isin")
@@ -274,7 +298,7 @@ final class SparkSearcher(
   private def blockSource(wanted: Seq[String], withMeta: Boolean)
       : org.apache.spark.rdd.RDD[PartBlockSource] =
     if (useBlockCache) {
-      val tag = contentTag
+      val tag = scanTag
       // defensive dedup: isin() tolerates repeated values, the cache path
       // would yield a repeated term's blocks twice
       val wantedB = spark.sparkContext.broadcast(wanted.distinct.toArray)
@@ -1538,16 +1562,19 @@ final class SparkSearcher(
     // reads only the queried terms' row groups. Executor count from the
     // block-manager registry (local mode = 1 JVM).
     val cacheFits = {
-      val execs = math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1)
       val estBytes = 12L * snap.totalPostings + 48L * snap.nDocs
-      // heap-capped: BlockCache may be resident on the same executors (a
-      // mixed positional+BM25 workload); each cache gets ≤30% of heap
-      estBytes <= heapCappedBudget(ContribCache.maxBytes) * execs
+      // ONE executor's heap-capped budget must hold the snapshot (tasks
+      // schedule anywhere, so per-executor demand converges to the whole
+      // snapshot; × executors would admit a permanently-thrashing size).
+      // BlockCache may be resident on the same executors (mixed
+      // positional+BM25 workload); each cache gets ≤30% of heap.
+      estBytes <= heapCappedBudget(ContribCache.maxBytes)
     }
     val cacheOn = ContribCache.enabled && cacheFits &&
       !sys.env.get("GRAFT_BM25_SCAN").contains("isin")
-    // The tag binds CONTENT, not just (dir, version) — see contentTag.
-    val cacheTag = contentTag
+    // The tag binds CONTENT + packing, not just (dir, version) — see
+    // contentTag / plannedScans.
+    val cacheTag = scanTag
     val scanRdd: org.apache.spark.rdd.RDD[BmBlockRow] =
       if (cacheOn || sys.env.get("GRAFT_BM25_SCAN").contains("slim"))
         slimBmScanRdd // planned once per searcher

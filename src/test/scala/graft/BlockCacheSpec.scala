@@ -66,37 +66,39 @@ class BlockCacheSpec extends AnyFunSuite {
     // force-enable: the suite must stay green under GRAFT_BLOCK_CACHE_MB=0
     // (serving-mode independence run) and this test is ABOUT the cache
     BlockCache.maxBytesOverride = Some(4096L << 20)
-    val dir = java.nio.file.Files.createTempDirectory("graftbc1").toString
-    buildInto(dir, 150)
-    val searcher = new SparkSearcher(spark, dir, Analyzer())
-    val ref = memOf(150)
-    val cold = searcher.searchBatch(queries, withWordInfo = false)
-    assert(BlockCache.totalBytes > 0, "block cache did not populate on the cold batch")
-    val hot = searcher.searchBatch(queries, withWordInfo = false)
-    assert(canon(hot) == canon(cold), "hot searchBatch diverged from cold")
-    assertVsRef(hot, ref, "cache-served")
-    // single-query path shares the cache
-    val single = queries.map { case (q, o) => searcher.search(q, o, withWordInfo = false) }
-    assertVsRef(single, ref, "single cache-served")
-    BlockCache.maxBytesOverride = None
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graftbc1").toString
+      buildInto(dir, 150)
+      val searcher = new SparkSearcher(spark, dir, Analyzer())
+      val ref = memOf(150)
+      val cold = searcher.searchBatch(queries, withWordInfo = false)
+      assert(BlockCache.totalBytes > 0, "block cache did not populate on the cold batch")
+      val hot = searcher.searchBatch(queries, withWordInfo = false)
+      assert(canon(hot) == canon(cold), "hot searchBatch diverged from cold")
+      assertVsRef(hot, ref, "cache-served")
+      // single-query path shares the cache
+      val single = queries.map { case (q, o) => searcher.search(q, o, withWordInfo = false) }
+      assertVsRef(single, ref, "single cache-served")
+    } finally BlockCache.maxBytesOverride = None
   }
 
   test("rebuild into the same directory never serves stale block entries") {
     BlockCache.clear()
     BlockCache.maxBytesOverride = Some(4096L << 20)
-    val dir = java.nio.file.Files.createTempDirectory("graftbc2").toString
-    buildInto(dir, 150)
-    val s1 = new SparkSearcher(spark, dir, Analyzer())
-    s1.searchBatch(queries, withWordInfo = false) // fill with the 150-doc build
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(dir))
-    buildInto(dir, 70)
-    val s2 = new SparkSearcher(spark, dir, Analyzer())
-    assertVsRef(s2.searchBatch(queries, withWordInfo = false), memOf(70), "post-rebuild")
-    BlockCache.maxBytesOverride = None
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graftbc2").toString
+      buildInto(dir, 150)
+      val s1 = new SparkSearcher(spark, dir, Analyzer())
+      s1.searchBatch(queries, withWordInfo = false) // fill with the 150-doc build
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+      buildInto(dir, 70)
+      val s2 = new SparkSearcher(spark, dir, Analyzer())
+      assertVsRef(s2.searchBatch(queries, withWordInfo = false), memOf(70), "post-rebuild")
+    } finally BlockCache.maxBytesOverride = None
   }
 
   test("tiny/zero budget degrades to the filtered scan, identical results") {

@@ -46,6 +46,7 @@ class ContribCacheSpec extends AnyFunSuite {
     // force-enable: the suite must stay green under GRAFT_CONTRIB_CACHE_MB=0
     // (serving-mode independence run) and this test is ABOUT the cache
     ContribCache.maxBytesOverride = Some(4096L << 20)
+    try {
     val dir = java.nio.file.Files.createTempDirectory("graftcc1").toString
     buildInto(dir, 150)
     val searcher = new SparkSearcher(spark, dir, Analyzer())
@@ -66,12 +67,13 @@ class ContribCacheSpec extends AnyFunSuite {
       assert(r2(i) == ref.bm25TopK(q, 10), s"post-publish promotion diverges [$q]")
     }
     assert(ContribCache.totalBytes >= t1, "promotion growth not accounted")
-    ContribCache.maxBytesOverride = None
+    } finally ContribCache.maxBytesOverride = None
   }
 
   test("rebuild into the same directory never serves stale cache entries") {
     ContribCache.clear()
     ContribCache.maxBytesOverride = Some(4096L << 20)
+    try {
     val dir = java.nio.file.Files.createTempDirectory("graftcc2").toString
     buildInto(dir, 150)
     val s1 = new SparkSearcher(spark, dir, Analyzer())
@@ -91,7 +93,7 @@ class ContribCacheSpec extends AnyFunSuite {
     queries.zipWithIndex.foreach { case (q, i) =>
       assert(got(i) == ref.bm25TopK(q, 10), s"stale cache entry served after rebuild [$q]")
     }
-    ContribCache.maxBytesOverride = None
+    } finally ContribCache.maxBytesOverride = None
   }
 
   test("tiny budget (residency auto-fallback) degrades to the pruned scan, identical results") {
