@@ -63,7 +63,14 @@ object BlockCache extends ShardCache[BlockShard] {
       if (b.term == IndexBuilder.MetaTerm) {
         IndexBuilder.decodeMetaBlockFor(b, _ => true).foreach { md =>
           metaMap(md.docId) = md
-          bytes += 2L * md.name.length + 24L * md.pageIds.length + 96
+          // decodeMetaBlockFor backs pageIds/pageEnds with primitive
+          // ArraySeqs (Array.toSeq), so per-element cost is 8 B (ref) /
+          // 8 B (long) + each page-id string's own chars; constants cover
+          // the string/array headers, the DocMetaRow, and the LongMap slot
+          var pidChars = 0L
+          md.pageIds.foreach(pidChars += _.length)
+          bytes += 2L * md.name.length + 2L * pidChars +
+            56L * md.pageIds.length + 8L * md.pageEnds.length + 192
         }
       } else {
         var buf = tmp.get(b.term)

@@ -13,6 +13,14 @@ import scala.jdk.CollectionConverters._
   */
 object IndexStore {
 
+  /** Drain a directory listing with the stream CLOSED: `Files.list` holds
+    * an open directory handle until closed, leaking one descriptor per
+    * call in a long-lived driver process (e.g. periodic vacuum). */
+  private def listDir(d: Path): Seq[Path] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   final case class StageRecord(
       stage: String,
       inputSignature: String,
@@ -179,8 +187,8 @@ object IndexStore {
   def listTableFiles(indexDir: String, tableDir: String): Seq[String] = {
     val d = Paths.get(indexDir, tableDir)
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet")).map(n => s"$tableDir/$n").toSeq.sorted
+    else listDir(d).map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).map(n => s"$tableDir/$n").sorted
   }
 
   // ---- per-stage completion markers for resumable builds ----
@@ -213,8 +221,8 @@ object IndexStore {
   def listManifests(indexDir: String): Seq[String] = {
     val d = Paths.get(indexDir)
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith("manifest-")).toSeq.sorted
+    else listDir(d).map(_.getFileName.toString)
+      .filter(_.startsWith("manifest-")).sorted
   }
 
   private val ManifestRe = "manifest-v(\\d+)\\.json".r
@@ -237,7 +245,7 @@ object IndexStore {
     val referenced: Set[String] = keepV.flatMap(v =>
       readSnapshot(indexDir, Some(v)).toSeq.flatMap(_.files.values.flatten))
     val root = Paths.get(indexDir)
-    val tableRoots = Files.list(root).iterator().asScala
+    val tableRoots = listDir(root).iterator
       .filter(p => Files.isDirectory(p))
       .filter { p =>
         val n = p.getFileName.toString
@@ -246,9 +254,9 @@ object IndexStore {
     var deleted = 0
     def walk(p: Path): Unit = {
       if (Files.isDirectory(p)) {
-        Files.list(p).iterator().asScala.toSeq.foreach(walk)
+        listDir(p).foreach(walk)
         // drop now-empty directories (but keep the table roots themselves)
-        if (!tableRoots.contains(p) && !Files.list(p).iterator().hasNext)
+        if (!tableRoots.contains(p) && listDir(p).isEmpty)
           Files.delete(p)
       } else {
         val rel = root.relativize(p).toString
@@ -278,7 +286,7 @@ object IndexStore {
     // e.g. after a compaction rewrote the postings — they are orphans
     val LineageRe = "lineage-v(\\d+)\\.json".r
     val manifestV = versions.toSet
-    Files.list(root).iterator().asScala
+    listDir(root).iterator
       .map(_.getFileName.toString)
       .flatMap(n => LineageRe.findFirstMatchIn(n).map(_.group(1).toInt))
       .filterNot(manifestV.contains)
@@ -292,7 +300,7 @@ object IndexStore {
       readStageDetail(indexDir, st, "dir").foreach { d =>
         val dir = root.resolve(d)
         val alive = Files.exists(dir) &&
-          Files.list(dir).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+          listDir(dir).exists(_.getFileName.toString.endsWith(".parquet"))
         if (!alive) Files.deleteIfExists(stageMarkerPath(indexDir, st))
       }
     }

@@ -43,8 +43,15 @@ private[spark] abstract class ShardCache[S <: CachedShard] {
   /** Test hook: overrides the env budget (single-JVM tests can't vary
     * process env per-case). */
   @volatile var maxBytesOverride: Option[Long] = None
+  /** The raw configured budget, UNCAPPED by the local JVM heap — what
+    * driver-side residency checks must compare against (combined with the
+    * EXECUTOR heap estimate): `maxBytes` below caps by the current JVM's
+    * heap, which on a cluster is the driver's, and a small-driver/
+    * large-executor deployment would otherwise silently disable the
+    * serving caches for snapshots the executors could hold. */
+  def configuredBudget: Long = maxBytesOverride.getOrElse(envBudgetBytes)
   def maxBytes: Long = math.min(
-    maxBytesOverride.getOrElse(envBudgetBytes),
+    configuredBudget,
     Runtime.getRuntime.maxMemory() / 10 * 3)
   def enabled: Boolean = maxBytes > 0
 
@@ -84,14 +91,29 @@ private[spark] abstract class ShardCache[S <: CachedShard] {
     while (total.get() > budget && it.hasNext) {
       val e = it.next()
       if (e.getKey != keep && shards.remove(e.getKey, e.getValue)) {
-        e.getValue.published = false
-        e.getValue.onEvict()
-        total.addAndGet(-e.getValue.cacheBytes)
+        val sh = e.getValue
+        // Snapshot bytes BEFORE un-publishing: a promote landing after the
+        // flag clears grows cacheBytes without crediting `total` (the
+        // notePublishedGrowth guard sees published=false), so subtracting
+        // the post-growth value would permanently undercount the total —
+        // an always-downward drift that lets the cache exceed its budget
+        // over churn. With the snapshot, the worst interleaving (promote
+        // credits `total` between snapshot and flag-clear) leaves a stale
+        // POSITIVE residue — over-eviction, the conservative direction.
+        val snap = sh.cacheBytes
+        sh.published = false
+        sh.onEvict()
+        total.addAndGet(-snap)
       }
     }
   }
 
-  /** Test/ops hook: drop everything. */
-  def clear(): Unit = { shards.clear(); total.set(0L) }
+  /** Test/ops hook: drop everything. Un-publishes entries first so a task
+    * still holding a cleared shard can't promote growth into the zeroed
+    * counter (same guard notePublishedGrowth relies on for eviction). */
+  def clear(): Unit = synchronized {
+    shards.values().forEach(_.published = false)
+    shards.clear(); total.set(0L)
+  }
   def totalBytes: Long = total.get()
 }

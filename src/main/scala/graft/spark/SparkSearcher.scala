@@ -40,6 +40,41 @@ object SparkSearcher {
       } else Analyzer()
     new SparkSearcher(spark, indexDir, an, version)
   }
+
+  /** Distributed bounded merge of the batch field-membership pass's
+    * per-(query, scan-partition) capped hit arrays: hash-shuffle by query
+    * id so each query's arrays meet in ONE task, keep the globally
+    * smallest `cap` docIds there (bounded max-heap — task memory is
+    * O(queries-in-task × cap), independent of scan partition count), and
+    * return ONE row of ≤ `cap` ids per query. Driver ingress is therefore
+    * ≤ fieldQueries × cap docIds however many posting shards the snapshot
+    * has — the same shape as the selection stage below it, replacing a
+    * collect() that grew with partition count (10^5–10^6 files at
+    * 10^12 docs = gigabytes per broad field query). */
+  private[spark] def mergeFieldHits(
+      perPart: org.apache.spark.rdd.RDD[(Int, Array[Long])],
+      cap: Int, numQueries: Int): Array[(Int, Array[Long])] = {
+    val parts = math.max(1, math.min(perPart.context.defaultParallelism, numQueries))
+    perPart
+      .partitionBy(new org.apache.spark.HashPartitioner(parts))
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.PriorityQueue[Long]]
+        it.foreach { case (qi, arr) =>
+          val h = heaps.getOrElseUpdate(qi,
+            scala.collection.mutable.PriorityQueue.empty[Long]) // max-heap
+          var i = 0
+          while (i < arr.length) {
+            val d = arr(i)
+            if (h.size < cap) h.enqueue(d)
+            else if (d < h.head) { h.dequeue(); h.enqueue(d) }
+            i += 1
+          }
+        }
+        heaps.iterator.map { case (qi, h) => (qi, h.dequeueAll.toArray.sorted) }
+      }
+      .collect()
+  }
 }
 
 /** Bounded-memory buffer for the two-pass (presence → positions) eval
@@ -267,8 +302,15 @@ final class SparkSearcher(
     if (master.startsWith("local")) Runtime.getRuntime.maxMemory()
     else spark.sparkContext.getConf.getSizeAsBytes("spark.executor.memory", "1g")
   }
-  private def heapCappedBudget(envBudget: Long): Long =
-    math.min(envBudget, execHeapBytes * 3 / 10)
+  /** Effective per-EXECUTOR budget as seen from the driver: the raw
+    * configured budget (NOT the cache's `maxBytes`, which is capped by the
+    * CURRENT JVM's heap — on a cluster that is the driver's heap, and a
+    * small-driver/large-executor deployment would silently disable both
+    * serving caches) capped at 30% of the executor heap estimate. The
+    * local-JVM cap in [[ShardCache.maxBytes]] still governs executor-side
+    * put/evict. */
+  private def heapCappedBudget(cache: ShardCache[_]): Long =
+    math.min(cache.configuredBudget, execHeapBytes * 3 / 10)
 
   /** Driver-side residency check: the full-shard fill only makes sense when
     * the snapshot's encoded blocks can be RAM-resident across the executors
@@ -283,7 +325,7 @@ final class SparkSearcher(
     // × executors would LRU-thrash (every batch refills whole shards,
     // costlier than the filtered scan this cache replaces)
     val est = postingsDiskBytes + (postingsDiskBytes >> 1) + (postingsDiskBytes >> 3)
-    est <= heapCappedBudget(BlockCache.maxBytes)
+    est <= heapCappedBudget(BlockCache)
   }
   private def useBlockCache: Boolean =
     BlockCache.enabled && blockCacheFits && !sys.env.get("GRAFT_POS_SCAN").contains("isin")
@@ -1013,9 +1055,8 @@ final class SparkSearcher(
           rows.close()
           hits.iterator.filter(_._2.nonEmpty).map { case (qi, b) => (qi, b.toArray) }
         }
-        perPart.collect().groupBy(_._1).map { case (qi, rows) =>
-          qi -> rows.iterator.flatMap(_._2).toArray.sorted.take(cap).toSet
-        }
+        SparkSearcher.mergeFieldHits(perPart, cap, fieldQis.length)
+          .iterator.map { case (qi, ids) => qi -> ids.toSet }.toMap
       }
     sbMark("fieldPass")
     val fsB = spark.sparkContext.broadcast(fieldSets)
@@ -1568,7 +1609,7 @@ final class SparkSearcher(
       // snapshot; × executors would admit a permanently-thrashing size).
       // BlockCache may be resident on the same executors (mixed
       // positional+BM25 workload); each cache gets ≤30% of heap.
-      estBytes <= heapCappedBudget(ContribCache.maxBytes)
+      estBytes <= heapCappedBudget(ContribCache)
     }
     val cacheOn = ContribCache.enabled && cacheFits &&
       !sys.env.get("GRAFT_BM25_SCAN").contains("isin")
