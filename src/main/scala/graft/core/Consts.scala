@@ -11,8 +11,16 @@ object Consts {
   val MinWordLength = 3
   /** Index.cs:96 `MAX_WORD_LENGTH` */
   val MaxWordLength = 32
+  /** Test hook: shrinks [[MaxFoundPages]] so the per-partition page-cap
+    * cut and the eval early-exit fire on small fixtures. BOTH engines
+    * (MemIndex and SparkSearcher share ResultAssembler) read it, so
+    * reference parity is preserved under the override. */
+  @volatile var MaxFoundPagesOverride: Option[Int] = None
   /** Index.cs:101 maximum output found pages */
-  val MaxFoundPages = 30000
+  def MaxFoundPages: Int = {
+    val o = MaxFoundPagesOverride
+    if (o.isDefined) o.get else 30000
+  }
   /** Index.cs:102 maximum output found docs */
   val MaxFoundDocs = 500
   /** Index.cs:103 found page display text length */

@@ -22,13 +22,32 @@ final case class PosSeq(coords: Array[Long], r: Int) {
 object PosSeq {
   val empty: PosSeq = PosSeq(Array.emptyLongArray, 0)
 
+  /** R combination shared by and/or: max magnitude; negative (ordered
+    * mode) only when BOTH operands are ordered. */
+  def combineR(ra: Int, rb: Int): Int = {
+    val absR = math.max(math.abs(ra), math.abs(rb))
+    if (ra < 0 && rb < 0) -absR else absR
+  }
+
+  // Per-thread scratch for and(): the out/group buffers are internal to one
+  // call (toArray copies the exact-size result; and() never re-enters — its
+  // operands are fully evaluated before the merge starts), and allocating
+  // two growing vectors per (candidate doc × query × AND node) made GC the
+  // top line of the batch eval profile.
+  private val andScratch = ThreadLocal.withInitial[(LongVec, LongVec)](
+    () => (new LongVec(256), new LongVec(64)))
+
   /** proximity-AND (`operator *`, IndexSequence.cs:218-284). */
   def and(a: PosSeq, b: PosSeq): PosSeq = {
     val absR = math.max(math.abs(a.r), math.abs(b.r))
     val r = if (a.r < 0 && b.r < 0) -absR else absR
+    // one empty side ⇒ empty result (a group needs members from BOTH
+    // streams — inGr0 && inGr1 can never hold); skip walking the other
+    // stream into never-emitted groups
+    if (a.coords.isEmpty || b.coords.isEmpty) return PosSeq(Array.emptyLongArray, r)
 
-    val out = new LongVec()
-    val group = new LongVec()
+    val (out, group) = andScratch.get()
+    out.clear(); group.clear()
     var inGr0 = false
     var inGr1 = false
 
@@ -77,13 +96,22 @@ object PosSeq {
     PosSeq(out.toArray, r)
   }
 
+  // or() scratch, same argument as andScratch (or() never re-enters and
+  // never runs inside and(), which takes fully-evaluated operands)
+  private val orScratch = ThreadLocal.withInitial[LongVec](() => new LongVec(256))
+
   /** OR union-merge (`operator +`, IndexSequence.cs:286-322); duplicates
     * collapse when equal. */
   def or(a: PosSeq, b: PosSeq): PosSeq = {
     val absR = math.max(math.abs(a.r), math.abs(b.r))
     val r = if (a.r < 0 && b.r < 0) -absR else absR
     val s0 = a.coords; val s1 = b.coords
-    val out = new LongVec(s0.length + s1.length)
+    // empty-side fast paths: the union IS the other operand's coordinates
+    // (shared array — PosSeq is immutable and consumers only read)
+    if (s0.isEmpty) return PosSeq(s1, r)
+    if (s1.isEmpty) return PosSeq(s0, r)
+    val out = orScratch.get()
+    out.clear()
     var i0 = 0; var i1 = 0
     while (i0 < s0.length && i1 < s1.length) {
       val c = java.lang.Long.compareUnsigned(s0(i0), s1(i1))

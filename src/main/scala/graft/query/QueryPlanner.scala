@@ -76,8 +76,80 @@ final case class QueryPlan(
 
   def evalDoc(ast: Ast, coordsOf: String => Array[Long]): PosSeq = ast match {
     case LeafRef(id) => leaves(id).seq(coordsOf, dist)
-    case AndNode(l, r) => PosSeq.and(evalDoc(l, coordsOf), evalDoc(r, coordsOf))
+    case AndNode(l, r) =>
+      val a = evalDoc(l, coordsOf)
+      // and(empty, x) is empty, and every node's R is data-INdependent
+      // (leaf R is a function of plan constants only; and/or combine Rs by
+      // sign and max alone — see PosSeq.combineR) — so a failed link bails
+      // out of the whole AND chain without evaluating the right subtree
+      // (a phrase over broad words skips the remaining OR union-merges for
+      // every candidate that misses the first bigram).
+      if (a.coords.isEmpty) PosSeq(Array.emptyLongArray, PosSeq.combineR(a.r, staticR(r)))
+      else PosSeq.and(a, evalDoc(r, coordsOf))
     case OrNode(l, r) => PosSeq.or(evalDoc(l, coordsOf), evalDoc(r, coordsOf))
+  }
+
+  /** The R attribute `evalDoc(ast)` would return, computed WITHOUT
+    * evaluating — exact by construction: leaf R depends only on the plan
+    * (exact flag, field presence, word length, dist), and the and/or
+    * combiners depend only on their operands' Rs. */
+  def staticR(ast: Ast): Int = ast match {
+    case LeafRef(id) =>
+      val lp = leaves(id)
+      val len = lp.word.length
+      lp.field match {
+        // mirrors LeafPlan.seq: and(fseq(r=-1), word(r=innerWordR)) is
+        // negative iff innerWordR < 0, then rewritten by the same rule
+        case Some(_) if lp.fieldPresent =>
+          if (lp.innerWordR < 0) -len - 4 else dist + len
+        case Some(_) => dist + len
+        case None => if (lp.exact) -len - 4 else dist + len
+      }
+    case AndNode(l, r) => PosSeq.combineR(staticR(l), staticR(r))
+    case OrNode(l, r) => PosSeq.combineR(staticR(l), staticR(r))
+  }
+
+  /** [[canMatch]] compiled against a dense code-id space: `codeId` maps a
+    * code to its id once (-1 = can never be present), and the returned
+    * matcher tests a doc via `has(id)` only — no per-doc string hashing.
+    * The batch prescreen calls canMatch (docs × queries) times per
+    * partition; the string-keyed form's hash lookups dominated it. */
+  def compileCanMatch(codeId: String => Int): (Int => Boolean) => Boolean = {
+    def leafC(lp: LeafPlan): (Int => Boolean) => Boolean = {
+      val ids = lp.codes.map(codeId)
+      def anyCode(has: Int => Boolean): Boolean = {
+        var i = 0
+        var hit = false
+        while (i < ids.length && !hit) {
+          val id = ids(i); hit = id >= 0 && has(id); i += 1
+        }
+        hit
+      }
+      lp.field match {
+        case Some(f) if lp.fieldPresent =>
+          val fid = codeId(Consts.FieldNameChar.toString + f)
+          has => fid >= 0 && has(fid) && anyCode(has)
+        case Some(_) => _ => false
+        case None => anyCode
+      }
+    }
+    def c(ast: Ast): (Int => Boolean) => Boolean = ast match {
+      case LeafRef(id) => leafC(leaves(id))
+      case AndNode(l, r) =>
+        val cl = c(l); val cr = c(r)
+        has => cl(has) && cr(has)
+      case OrNode(l, r) =>
+        val cl = c(l); val cr = c(r)
+        has => cl(has) || cr(has)
+    }
+    val cb = body.map(c)
+    val cf = fields.map(c)
+    (cb, cf) match {
+      case (Some(b), Some(f)) => has => b(has) || f(has)
+      case (Some(b), None) => b
+      case (None, Some(f)) => f
+      case (None, None) => _ => false
+    }
   }
 
   /** Presence-only prescreen over a doc's term set: false means evalDoc is

@@ -41,39 +41,79 @@ object SparkSearcher {
     new SparkSearcher(spark, indexDir, an, version)
   }
 
-  /** Distributed bounded merge of the batch field-membership pass's
-    * per-(query, scan-partition) capped hit arrays: hash-shuffle by query
-    * id so each query's arrays meet in ONE task, keep the globally
-    * smallest `cap` docIds there (bounded max-heap — task memory is
-    * O(queries-in-task × cap), independent of scan partition count), and
-    * return ONE row of ≤ `cap` ids per query. Driver ingress is therefore
-    * ≤ fieldQueries × cap docIds however many posting shards the snapshot
-    * has — the same shape as the selection stage below it, replacing a
-    * collect() that grew with partition count (10^5–10^6 files at
-    * 10^12 docs = gigabytes per broad field query). */
-  private[spark] def mergeFieldHits(
-      perPart: org.apache.spark.rdd.RDD[(Int, Array[Long])],
-      cap: Int, numQueries: Int): Array[(Int, Array[Long])] = {
-    val parts = math.max(1, math.min(perPart.context.defaultParallelism, numQueries))
-    perPart
-      .partitionBy(new org.apache.spark.HashPartitioner(parts))
-      .mapPartitions { it =>
-        val heaps = scala.collection.mutable.HashMap
-          .empty[Int, scala.collection.mutable.PriorityQueue[Long]]
-        it.foreach { case (qi, arr) =>
-          val h = heaps.getOrElseUpdate(qi,
-            scala.collection.mutable.PriorityQueue.empty[Long]) // max-heap
-          var i = 0
-          while (i < arr.length) {
-            val d = arr(i)
-            if (h.size < cap) h.enqueue(d)
-            else if (d < h.head) { h.dequeue(); h.enqueue(d) }
-            i += 1
-          }
-        }
-        heaps.iterator.map { case (qi, h) => (qi, h.dequeueAll.toArray.sorted) }
+  /** Bounded merge for the batch field-membership sets: the globally
+    * smallest `cap` ids across per-scan-partition capped hit arrays, via a
+    * max-heap of size ≤ `cap` — O(cap) memory however many scan partitions
+    * contributed (10^5–10^6 posting files at 10^12 docs; an unbounded
+    * concat-and-sort would be gigabytes per broad field query). Runs
+    * inside the selection task, so field data never reaches the driver. */
+  private[spark] def boundedFirstK(arrays: Iterator[Array[Long]], cap: Int): Array[Long] = {
+    val h = scala.collection.mutable.PriorityQueue.empty[Long] // max-heap
+    arrays.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val d = arr(i)
+        if (h.size < cap) h.enqueue(d)
+        else if (d < h.head) { h.dequeue(); h.enqueue(d) }
+        i += 1
       }
-      .collect()
+    }
+    h.dequeueAll.toArray.sorted
+  }
+
+  /** One selection partition per query of the batch: exact balance (a hash
+    * repartition puts 2+ queries in one task with high probability at any
+    * partition count near the query count, serializing the stragglers) and
+    * a partition id that IS the query id. */
+  private[spark] final class QiPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
+  }
+
+  /** Compact wire codec for EvalRow across the selection shuffle: Java
+    * serialization of the case class (nested Scala Seqs) cost ~1.5 ms/row
+    * on both the write and read side — 5× the selection work itself —
+    * where byte arrays take the serializer's primitive fast path. */
+  private[spark] def encodeEval(e: EvalRow): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(128 + 8 * e.coords.length)
+    val o = new java.io.DataOutputStream(bos)
+    o.writeLong(e.docId)
+    o.writeBoolean(e.fieldHit)
+    o.writeUTF(e.name)
+    o.writeLong(e.docLen)
+    def longs(a: Array[Long]): Unit = {
+      o.writeInt(a.length)
+      var i = 0
+      while (i < a.length) { o.writeLong(a(i)); i += 1 }
+    }
+    longs(e.coords); longs(e.leafCounts); longs(e.tfs)
+    o.writeInt(e.codes.length); e.codes.foreach(o.writeUTF)
+    o.writeInt(e.pageIds.length); e.pageIds.foreach(o.writeUTF)
+    o.writeInt(e.pageEnds.length); e.pageEnds.foreach(o.writeLong)
+    o.flush()
+    bos.toByteArray
+  }
+
+  private[spark] def decodeEval(b: Array[Byte]): EvalRow = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    val docId = in.readLong()
+    val fieldHit = in.readBoolean()
+    val name = in.readUTF()
+    val docLen = in.readLong()
+    def longs(): Array[Long] = {
+      val n = in.readInt()
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = in.readLong(); i += 1 }
+      a
+    }
+    val coords = longs(); val leafCounts = longs(); val tfs = longs()
+    val codes = Array.fill(in.readInt())(in.readUTF())
+    val pageIds = Array.fill(in.readInt())(in.readUTF())
+    val pageEnds = longs()
+    EvalRow(docId, coords, fieldHit, leafCounts, codes, tfs, name,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(pageIds),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(pageEnds), docLen)
   }
 }
 
@@ -739,7 +779,7 @@ final class SparkSearcher(
     val scoringBatch = spark.sparkContext.broadcast(scoringPer.toArray)
     val blocksRdd = blockSource(allCodes, withMeta = true)
     val wantInfo = withWordInfo
-    val evals: Dataset[(Int, EvalRow)] = spark.createDataset(blocksRdd.mapPartitions { srcIt =>
+    val evalsRdd: org.apache.spark.rdd.RDD[(Int, EvalRow)] = blocksRdd.mapPartitions { srcIt =>
       val src = srcIt.next()
       val it = src.rows
       val ps = plansB.value
@@ -807,13 +847,21 @@ final class SparkSearcher(
         }
         pMark("presence")
         // which queries can each doc possibly satisfy (presence algebra)?
+        // matchers are canMatch compiled against the dense code-id space:
+        // the per-(doc, query) test is bit probes, not string hashing
+        val matchers: Array[(Int => Boolean) => Boolean] = ps.map(_.compileCanMatch(
+          c => { val i = codeIds.get(c); if (i == null) -1 else i.intValue }))
+        val qsTmp = new Array[Int](ps.length)
         present.foreach { case (d, mask) =>
-          val contains: String => Boolean = c => {
-            val i = codeIds.get(c)
-            i != null && (mask(i.intValue >>> 6) & (1L << (i.intValue & 63))) != 0L
+          val has: Int => Boolean =
+            id => (mask(id >>> 6) & (1L << (id & 63))) != 0L
+          var n = 0
+          var qi = 0
+          while (qi < matchers.length) {
+            if (matchers(qi)(has)) { qsTmp(n) = qi; n += 1 }
+            qi += 1
           }
-          val qs = allQis.filter(qi => ps(qi).canMatch(contains))
-          if (qs.nonEmpty) candQis(d) = qs
+          if (n > 0) candQis(d) = java.util.Arrays.copyOf(qsTmp, n)
         }
         pMark("candQis")
         // Position decode only for candidate docs, and only for terms their
@@ -862,31 +910,43 @@ final class SparkSearcher(
       // survive downstream; they are dropped at the source)
       val perQi = Array.fill(ps.length)(
         mutable.ArrayBuffer.empty[(Long, Array[Long], Boolean, Array[Long], Array[Long])])
-      // Amortized compaction bound: only the first MaxFoundPages+1 docs by
-      // docId can survive the page-cap cut (each doc has ≥1 page, so
-      // cumulative-before ≥ sorted index). Dropping a doc stays sound as
-      // more (possibly smaller-docId) docs arrive: additions only GROW a
-      // dropped doc's cumulative-before. Keeps a broad-query batch's
-      // intermediate buffers at ~2×cap per query instead of every hit in
-      // the shard (the pre-cut output used to stream into Spark's
-      // spillable sorter; an unbounded in-heap buffer would regress that).
+      // Hard per-(query, partition) bound: only the first MaxFoundPages+1
+      // docs by docId can survive the page-cap cut (each doc has ≥1 page,
+      // so cumulative-before ≥ sorted index). The ascending iteration below
+      // makes the bound an EARLY EXIT — a broad query over a huge shard
+      // stops evaluating (and allocating PosSeq merges) after the bound,
+      // instead of evaluating everything and cutting afterwards.
       val compactBound = Consts.MaxFoundPages + 1
-      // trigger override (test-only, local mode): forces compaction on
-      // tiny fixtures so the path is exercised without 60k-doc hits
-      val compactTrigger = sys.props.get("graft.compact.trigger")
-        .map(_.toInt).getOrElse(2 * compactBound)
-      def compact(qi: Int): Unit = {
-        val kept = perQi(qi).sortBy(_._1).take(compactBound)
-        perQi(qi).clear()
-        perQi(qi) ++= kept
-      }
       // per-leaf raw counts summed over EVERY evaluated doc (the
       // single-query path's word-info semantics); shipped to the driver as
       // one sentinel row per (query, partition), never per doc
       val wordSums: Array[Array[Long]] =
         if (wantInfo) Array.tabulate(ps.length)(qi => new Array[Long](ps(qi).leaves.length))
         else null
-      byDoc.foreach { case (docId, arr) =>
+      // Field membership (the first MaxFoundDocs field-matching docs per
+      // query, ascending docId) is collected IN THIS PASS and shipped as
+      // sentinel rows — it used to be a separate Spark job over the same
+      // blocks that re-ingested, re-ran presence, and re-decoded positions
+      // the eval pass already had in hand. Every field-matching doc is a
+      // candidate here (fields-presence ⇒ canMatch), so the collected set
+      // is identical to the standalone pass's.
+      val wantField: Array[Boolean] =
+        ps.map(q => q.fields.nonEmpty && q.body.nonEmpty)
+      val fieldCap = Consts.MaxFoundDocs
+      val fieldHits: Array[mutable.ArrayBuffer[Long]] = Array.tabulate(ps.length)(qi =>
+        if (wantField(qi)) mutable.ArrayBuffer.empty[Long] else null)
+      // ascending docId order: keeps perQi sorted as built (no post-sort),
+      // makes the compactBound/fieldCap cuts exact prefixes, and lets the
+      // whole loop stop once every query is capped
+      val docIdsSorted = new Array[Long](byDoc.size)
+      locally { var i = 0; byDoc.foreachKey { d => docIdsSorted(i) = d; i += 1 } }
+      java.util.Arrays.sort(docIdsSorted)
+      val closed = new Array[Boolean](ps.length)
+      var nClosed = 0
+      var di = 0
+      while (di < docIdsSorted.length && (wantInfo || nClosed < ps.length)) {
+        val docId = docIdsSorted(di)
+        val arr = byDoc(docId)
         val get = (c: String) => {
           val i = codeIds.get(c)
           if (i == null) Array.emptyLongArray
@@ -895,26 +955,48 @@ final class SparkSearcher(
             if (v == null) Array.emptyLongArray else v
           }
         }
-        candQis(docId).foreach { qi =>
+        val qs = candQis(docId)
+        var qj = 0
+        while (qj < qs.length) {
+          val qi = qs(qj)
           val q = ps(qi)
-          if (wantInfo) {
-            var li = 0
-            while (li < q.leaves.length) {
-              wordSums(qi)(li) += q.leaves(li).seq(get, q.dist).coords.length.toLong
-              li += 1
+          // a query stays open for body rows until its prefix bound, and
+          // for field collection until its field cap; wantInfo keeps every
+          // query open (per-leaf counts sum over every evaluated doc)
+          val bodyOpen = wantInfo || perQi(qi).length < compactBound
+          val fieldOpen = wantField(qi) && fieldHits(qi).length < fieldCap
+          if (bodyOpen || fieldOpen) {
+            if (wantInfo) {
+              var li = 0
+              while (li < q.leaves.length) {
+                wordSums(qi)(li) += q.leaves(li).seq(get, q.dist).coords.length.toLong
+                li += 1
+              }
+            }
+            val coords =
+              if (!bodyOpen) Array.emptyLongArray
+              else if (q.body.isEmpty)
+                q.fields.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
+              else q.evalDoc(q.body.get, get).coords
+            // the field expression is evaluated only when someone consumes
+            // the answer: the field buffer while it is still open, or the
+            // emitted row's fieldHit flag — a field query whose buffer
+            // capped no longer pays a PosSeq AND per non-matching doc
+            val fieldHit = q.fields.nonEmpty && (fieldOpen || coords.nonEmpty) &&
+              q.fields.exists(a => q.evalDoc(a, get).coords.nonEmpty)
+            if (fieldOpen && fieldHit) fieldHits(qi) += docId
+            if (coords.nonEmpty) {
+              val tfs = sc(qi).map(c => get(c).length.toLong)
+              perQi(qi) += ((docId, coords, fieldHit, Array.emptyLongArray, tfs))
+            }
+            if (!wantInfo && !closed(qi) && perQi(qi).length >= compactBound &&
+              (!wantField(qi) || fieldHits(qi).length >= fieldCap)) {
+              closed(qi) = true; nClosed += 1
             }
           }
-          val body = q.body.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
-          val fieldHit = q.fields.exists(a => q.evalDoc(a, get).coords.nonEmpty)
-          val coords =
-            if (q.body.isEmpty) q.fields.map(a => q.evalDoc(a, get).coords).getOrElse(Array.emptyLongArray)
-            else body
-          if (coords.nonEmpty) {
-            val tfs = sc(qi).map(c => get(c).length.toLong)
-            perQi(qi) += ((docId, coords, fieldHit, Array.emptyLongArray, tfs))
-            if (perQi(qi).length >= compactTrigger) compact(qi)
-          }
+          qj += 1
         }
+        di += 1
       }
       pMark("eval")
       // meta only for docs some query emitted (cache-served shards carry
@@ -934,17 +1016,22 @@ final class SparkSearcher(
       pMark("metaDecode")
       // per (query, partition) page-cap cut in docId order (same soundness
       // argument as the single-query path): bounds this partition's
-      // contribution to the global sort — and the driver's residual drain —
+      // contribution to the global sort — and the selection task's input —
       // at ~MaxFoundPages docs per query, however broad the query is.
+      // Sentinels sort before every real doc in the global (qi, docId)
+      // order (same scheme as the single-query path):
+      //   docId = -2 → per-partition per-leaf word-count sums;
+      //   docId = -1 → this partition's first ≤MaxFoundDocs field-hit
+      //                docIds (ascending), in leafCounts.
       ps.indices.iterator.flatMap { qi =>
-        val arr = perQi(qi).sortBy(_._1)
+        val arr = perQi(qi) // ascending by construction (sorted iteration)
         val out = mutable.ArrayBuffer.empty[(Int, EvalRow)]
-        // sentinel word-count row: docId = -1 sorts before any real doc of
-        // this query in the global (qi, docId) order, so the driver reads
-        // the per-partition count sums before the doc stream
         if (wantInfo && wordSums(qi).exists(_ != 0L))
-          out += ((qi, EvalRow(-1L, Array.emptyLongArray, fieldHit = false,
+          out += ((qi, EvalRow(-2L, Array.emptyLongArray, fieldHit = false,
             wordSums(qi), Array.empty, Array.emptyLongArray, "", Nil, Nil, 0L)))
+        if (wantField(qi) && fieldHits(qi).nonEmpty)
+          out += ((qi, EvalRow(-1L, Array.emptyLongArray, fieldHit = false,
+            fieldHits(qi).toArray, Array.empty, Array.emptyLongArray, "", Nil, Nil, 0L)))
         val keep = ResultAssembler.pageCapPrefix[(Long, Array[Long], Boolean, Array[Long], Array[Long])](
           arr,
           p => metaGet(p._1)
@@ -962,144 +1049,57 @@ final class SparkSearcher(
         }
         out.iterator
       }
-    })
+    }
 
-    // Field membership = the first 500 field-matching docs per query
-    // (docId order). Computed by a SLIM pass over only the field-relevant
-    // postings, capped per (query, scan task) and merged on the driver —
-    // NOT a per-query window over the whole hit stream, which would funnel
-    // every eval row of a broad query through one task at web scale.
-    val fieldQis: Array[Int] =
-      plans.indices.filter(qi => plans(qi).fields.nonEmpty && plans(qi).body.nonEmpty).toArray
-    val fieldSets: Map[Int, Set[Long]] =
-      if (fieldQis.isEmpty) Map.empty
-      else {
-        val fCodes = fieldQis.flatMap { qi =>
-          plans(qi).leaves.filter(_.field.nonEmpty).flatMap(l =>
-            l.codes.toSeq ++
-              l.field.filter(_ => l.fieldPresent).map(f => Consts.FieldNameChar.toString + f))
-        }.distinct.toSeq
-        val fqB = spark.sparkContext.broadcast(fieldQis)
-        val cap = Consts.MaxFoundDocs
-        val fRdd = blockSource(fCodes, withMeta = false)
-        val perPart = fRdd.mapPartitions { srcIt =>
-          val it = srcIt.next().rows
-          val ps = plansB.value
-          // a broad field term ({Source=web} ≈ every doc) can put a whole
-          // shard's field blocks in this pass: buffer them BOUNDED (64 MB
-          // heap + spill), replayed once per chunk below — never a full
-          // it.toArray residency (same policy as the main eval passes)
-          val rows = new BlockSpillBuffer()
-          it.foreach(rows += _)
-          // presence prescreen (same soundness as the main eval): only
-          // docs that can satisfy SOME field expression get their
-          // position chains decoded
-          val present = mutable.HashMap.empty[Long, mutable.HashSet[String]]
-          rows.foreach { b =>
-            IndexBuilder.foreachDocId(b)(d =>
-              present.getOrElseUpdate(d, mutable.HashSet.empty) += b.term)
-          }
-          def canField(qi: Int, ts: mutable.HashSet[String]): Boolean = {
-            val q = ps(qi)
-            QueryPlan(None, q.fields, q.filters, q.leaves, q.dist).canMatch(ts.contains)
-          }
-          // docId-ordered CHUNKED evaluation with early exit: field
-          // membership only needs the first `cap` field-matching docs per
-          // query in docId order, so candidates are processed in ascending
-          // chunks and the loop stops once every query is capped — a broad
-          // field term ({Source=web}) decodes ~one chunk of position
-          // chains instead of the whole shard. Chunk size doubles each
-          // round so sparse-match worst cases pay O(log) skip-scans, not
-          // O(candidates/chunk).
-          val candSorted = present.iterator.collect {
-            case (d, ts) if fqB.value.exists(qi => canField(qi, ts)) => d
-          }.toArray
-          java.util.Arrays.sort(candSorted)
-          val hits = fqB.value.map(qi => qi -> mutable.ArrayBuffer.empty[Long]).toMap
-          var chunkSize = math.max(cap, 2048)
-          var idx = 0
-          while (idx < candSorted.length &&
-            fqB.value.exists(qi => hits(qi).length < cap)) {
-            val end = math.min(idx + chunkSize, candSorted.length)
-            val lo = candSorted(idx)
-            val hi = candSorted(end - 1)
-            val inChunk = mutable.HashSet.empty[Long]
-            var ci = idx
-            while (ci < end) { inChunk += candSorted(ci); ci += 1 }
-            val byDoc = mutable.HashMap.empty[Long, mutable.HashMap[String, Array[Long]]]
-            rows.foreach { b =>
-              if (b.firstDocId <= hi) // blocks carry ascending docIds
-                IndexBuilder.decodeBlockFor(b,
-                  d => d >= lo && d <= hi && inChunk.contains(d)).foreach {
-                  case (d, _, coords) =>
-                    byDoc.getOrElseUpdate(d, mutable.HashMap.empty)(b.term) = coords
-                }
-            }
-            // ascending docId within the chunk keeps per-query hits sorted
-            var j = idx
-            while (j < end) {
-              val docId = candSorted(j)
-              byDoc.get(docId).foreach { m =>
-                val get = (c: String) => m.getOrElse(c, Array.emptyLongArray)
-                fqB.value.foreach { qi =>
-                  if (hits(qi).length < cap &&
-                    ps(qi).fields.exists(a => ps(qi).evalDoc(a, get).coords.nonEmpty))
-                    hits(qi) += docId
-                }
-              }
-              j += 1
-            }
-            idx = end
-            chunkSize *= 2
-          }
-          rows.close()
-          hits.iterator.filter(_._2.nonEmpty).map { case (qi, b) => (qi, b.toArray) }
-        }
-        SparkSearcher.mergeFieldHits(perPart, cap, fieldQis.length)
-          .iterator.map { case (qi, ids) => qi -> ids.toSet }.toMap
-      }
-    sbMark("fieldPass")
-    val fsB = spark.sparkContext.broadcast(fieldSets)
-
-    // Distributed per-query selection: hash-shuffle the page-cap-cut eval
-    // rows by query id (NO range sampling — an orderBy here re-ran the
-    // whole eval scan once just to sample sort keys), sort each query's
-    // rows by docId within its partition (all rows of a query land in one
-    // partition, so this IS the global docId order per query), and run the
-    // reference selection semantics (sentinel aggregation, page/doc caps,
-    // filters, field intersection) IN-TASK, queries in parallel. The
-    // driver collects only ≤ MaxFoundDocs kept docs per query — never the
-    // eval stream, and never one serial toLocalIterator job per partition.
-    val selParts = math.max(1, math.min(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, plans.length))
-    val selected: Array[SelOutRow] = evals
-      .map { case (qi, e) =>
-        val inField = fsB.value.get(qi).exists(s => e.fieldHit && s.contains(e.docId))
-        (qi, e, inField)
-      }
-      .repartition(selParts, $"_1")
-      .sortWithinPartitions($"_1", $"_2.docId")
+    // Distributed per-query selection: key the page-cap-cut eval rows by
+    // (query id, docId) and let the SHUFFLE sort them (repartitionAndSort
+    // WithinPartitions = ExternalSorter, spillable — a query's global input
+    // is bounded per SCAN partition by the page-cap cut, not globally).
+    // The partitioner is EXACT (qi → partition qi): a hash repartition put
+    // 2+ of the batch's queries in one task and left other tasks empty,
+    // serializing the stragglers. Each task then runs the reference
+    // selection semantics (sentinel aggregation, page/doc caps, filters,
+    // field intersection) for exactly one query; the driver collects only
+    // ≤ MaxFoundDocs kept docs per query — never the eval stream.
+    // Field membership rides the same shuffle as docId=-1 sentinel rows
+    // (the per-partition first ≤cap field-hit docIds, collected by the
+    // eval pass itself); the selection task bounded-merges them to the
+    // global first-cap set, so field data never reaches the driver at all
+    // (the previous standalone field-pass job re-ingested the same blocks
+    // and collect()ed per-partition hits).
+    val selected: Array[SelOutRow] = evalsRdd
+      .map { case (qi, e) => ((qi, e.docId), SparkSearcher.encodeEval(e)) }
+      .repartitionAndSortWithinPartitions(new SparkSearcher.QiPartitioner(plans.length))
       .mapPartitions { it =>
         val ps = plansB.value
         val buf = it.buffered
         val out = mutable.ArrayBuffer.empty[SelOutRow]
         while (buf.hasNext) {
-          val qi = buf.head._1
+          val qi = buf.head._1._1
           val hasFields = ps(qi).fields.nonEmpty && ps(qi).body.nonEmpty
-          // sentinel rows (docId = -1) carry this query's per-partition
-          // leaf count sums; they sort before every real doc
+          // word-count sentinels (docId = -2) sort first
           var wc = Array.emptyLongArray
-          while (buf.hasNext && buf.head._1 == qi && buf.head._2.docId == -1L) {
-            val counts = buf.next()._2.leafCounts
+          while (buf.hasNext && buf.head._1 == ((qi, -2L))) {
+            val counts = SparkSearcher.decodeEval(buf.next()._2).leafCounts
             if (wc.isEmpty) wc = new Array[Long](counts.length)
             var i = 0
             while (i < counts.length) { wc(i) += counts(i); i += 1 }
           }
+          // field sentinels (docId = -1): bounded merge of the per-scan-
+          // partition capped ascending arrays to the global first cap —
+          // O(cap) memory however many scan partitions contributed
+          val fieldArrays = new Iterator[Array[Long]] {
+            def hasNext: Boolean = buf.hasNext && buf.head._1 == ((qi, -1L))
+            def next(): Array[Long] = SparkSearcher.decodeEval(buf.next()._2).leafCounts
+          }
+          val fieldSet: Set[Long] =
+            SparkSearcher.boundedFirstK(fieldArrays, Consts.MaxFoundDocs).toSet
           val iter: Iterator[(ResultAssembler.DocEval, Boolean)] =
             new Iterator[(ResultAssembler.DocEval, Boolean)] {
-              def hasNext: Boolean = buf.hasNext && buf.head._1 == qi
+              def hasNext: Boolean = buf.hasNext && buf.head._1._1 == qi
               def next(): (ResultAssembler.DocEval, Boolean) = {
-                val (_, e, inField) = buf.next()
+                val e = SparkSearcher.decodeEval(buf.next()._2)
+                val inField = hasFields && e.fieldHit && fieldSet.contains(e.docId)
                 (ResultAssembler.DocEval(e.docId, e.name, e.coords,
                   e.pageIds.toArray, e.pageEnds.toArray, e.docLen,
                   e.codes.zip(e.tfs).filter(_._2 > 0).toSeq), inField || !hasFields)
@@ -1108,7 +1108,7 @@ final class SparkSearcher(
           val (kept, nPages) =
             ResultAssembler.selectDocsFlagged(iter, ps(qi).filters, hasFields)
           // skip residual rows of this query (bounded by the upstream cut)
-          while (buf.hasNext && buf.head._1 == qi) buf.next()
+          while (buf.hasNext && buf.head._1._1 == qi) buf.next()
           out += SelOutRow(qi, nPages, wc.toSeq, kept.iterator.map(p =>
             SelDocRow(p.d.docId, p.d.name, p.d.dl,
               p.d.codeTfs.map(_._1), p.d.codeTfs.map(_._2),

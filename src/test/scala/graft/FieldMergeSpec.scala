@@ -25,37 +25,22 @@ class FieldMergeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("driver receives one row of ≤cap ids per query, regardless of partition count") {
+  test("boundedFirstK: globally smallest cap ids, O(cap) memory, any partition count") {
     val cap = 7
-    val nQis = 3
-    val nParts = 96 // far above defaultParallelism — the old collect() scaled with this
-    // partition p contributes docIds in [p*1000, p*1000+cap) for every qi —
-    // disjoint across partitions, like real doc shards
-    val perPart = spark.sparkContext
-      .parallelize(0 until nParts, nParts)
-      .flatMap(p => (0 until nQis).map(qi => (qi, Array.tabulate(cap)(i => p * 1000L + i))))
-    val out = SparkSearcher.mergeFieldHits(perPart, cap, nQis)
-    assert(out.length <= nQis, s"driver received ${out.length} rows for $nQis queries")
-    out.foreach { case (_, ids) => assert(ids.length <= cap, "per-query row exceeds cap") }
-    // values: the globally smallest cap docIds per query, ascending
-    val want = (0 until nParts).flatMap(p => (0 until cap).map(i => p * 1000L + i))
-      .sorted.take(cap)
-    out.foreach { case (qi, ids) =>
-      assert(ids.toSeq == want, s"qi=$qi merged ids diverge from global sorted take(cap)")
-    }
-    assert(out.map(_._1).toSet == (0 until nQis).toSet, "a query's hits were dropped")
+    val nParts = 96 // the shape: one capped ascending array per scan partition
+    val arrays = (0 until nParts).map(p => Array.tabulate(cap)(i => p * 1000L + i))
+    val got = SparkSearcher.boundedFirstK(arrays.iterator, cap)
+    val want = arrays.flatten.sorted.take(cap)
+    assert(got.toSeq == want.toSeq, "merged ids diverge from global sorted take(cap)")
+    assert(got.length <= cap)
   }
 
-  test("uneven and empty contributions merge to the global first-cap set") {
+  test("boundedFirstK: uneven and empty contributions merge to the global first-cap set") {
     val cap = 5
-    val perPart = spark.sparkContext.parallelize(Seq(
-      (0, Array(10L, 20L, 30L)),
-      (0, Array(5L, 15L)),
-      (0, Array(1L, 2L, 3L, 4L)),
-      (1, Array(100L))), 17)
-    val out = SparkSearcher.mergeFieldHits(perPart, cap, 2).toMap
-    assert(out(0).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
-    assert(out(1).toSeq == Seq(100L))
+    val in = Seq(Array(10L, 20L, 30L), Array.emptyLongArray, Array(5L, 15L), Array(1L, 2L, 3L, 4L))
+    assert(SparkSearcher.boundedFirstK(in.iterator, cap).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(SparkSearcher.boundedFirstK(Iterator.empty, cap).isEmpty)
+    assert(SparkSearcher.boundedFirstK(Iterator(Array(9L, 8L)), 1).toSeq == Seq(8L))
   }
 
   test("batch field query identical to sequential search (end-to-end through the merge)") {

@@ -125,21 +125,25 @@ class SparkIdentitySpec extends AnyFunSuite {
     }
   }
 
-  test("searchBatch: forced buffer compaction preserves results exactly") {
-    // drive the amortized docId-count compaction (normally only reachable
-    // past 2×(MaxFoundPages+1) hits per partition) on the small fixture;
-    // results must be identical to the uncompacted path
-    val reqs = goldenQueries.take(6)
-    val plain = searcher.searchBatch(reqs)
-    sys.props("graft.compact.trigger") = "2"
+  test("searchBatch under cap pressure: early exit + page-cap cut match the reference") {
+    // shrink the global page cap so the per-(query, partition) prefix
+    // bound — the eval loop's early exit — actually FIRES on the small
+    // fixture (normally it needs >30k matched pages per partition). Both
+    // engines read the override through ResultAssembler, so results must
+    // stay identical under cap pressure: capped nFoundPages, truncated doc
+    // lists, overflow-page handling.
+    val reqs = goldenQueries.take(8)
+    graft.core.Consts.MaxFoundPagesOverride = Some(5)
     try {
-      val compacted = searcher.searchBatch(reqs)
-      plain.zip(compacted).foreach { case (a, b) =>
-        assert(a.docs.map(_.docId) == b.docs.map(_.docId))
-        assert(a.nFoundPages == b.nFoundPages)
-        assert(a.docs.map(_.rank) == b.docs.map(_.rank))
+      val batch = searcher.searchBatch(reqs)
+      reqs.zip(batch).foreach { case ((q, opt), b) =>
+        val a = mem.search(q, opt)
+        assert(a.nFoundPages == b.nFoundPages, s"[$q] capped nFoundPages")
+        assert(a.docs.map(_.docId) == b.docs.map(_.docId), s"[$q] capped docIds")
+        assert(a.docs.map(d => d.pages.map(p => (p.pageId, p.pos.toSeq))) ==
+          b.docs.map(d => d.pages.map(p => (p.pageId, p.pos.toSeq))), s"[$q] capped pages")
       }
-    } finally sys.props.remove("graft.compact.trigger")
+    } finally graft.core.Consts.MaxFoundPagesOverride = None
   }
 
   test("forced eval spill: no-word-info results identical, rows round-trip") {
