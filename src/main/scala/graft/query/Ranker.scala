@@ -36,6 +36,25 @@ object Ranker {
     out
   }
 
+  /** Number of page groups [[pagesOf]] would produce, without materializing
+    * them — the batch emitter needs only the COUNT for page-cap arithmetic
+    * on its count-only stubs. Counts page-index transitions; exact because
+    * a doc's page ids are unique (builder-written page list), so pagesOf's
+    * consecutive-id merge fires iff the index is unchanged. */
+  def pagesHitCount(coords: Array[Long], pageEnds: Array[Long]): Int = {
+    var n = 0
+    var pi = 0
+    var lastPi = -1
+    var i = 0
+    while (i < coords.length) {
+      val c = coords(i)
+      while (pi < pageEnds.length && pageEnds(pi) <= c) pi += 1
+      if (pi < pageEnds.length && pi != lastPi) { n += 1; lastPi = pi }
+      i += 1
+    }
+    n
+  }
+
   /** Page rank: 1 + Σ (30 / max(5, gap)) + ln(n). NOTE `30 / max(5, gap)`
     * is INTEGER division in the reference (Search.cs:99-111) — preserved.
     * Float accumulation order preserved. */

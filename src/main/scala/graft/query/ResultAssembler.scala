@@ -128,11 +128,27 @@ object ResultAssembler {
     SearchOut(docHits.sortBy(_.rank).toSeq, nFoundPages, wordInfos)
   }
 
+  /** One row of the distributed selection stream: either a fully evaluated
+    * doc (a kept-candidate — within its partition's first MAX_FOUND_DOCS
+    * filter-passing docs) or a count-only stub. Beyond the doc cap a doc
+    * influences the result ONLY through its page count (Search.cs:365-420
+    * counts pages for every matching doc but keeps at most 500), so
+    * partitions ship 16-byte stubs instead of full rows for the long tail
+    * of a broad query — the cap arithmetic below stays exact because stubs
+    * preserve per-doc page counts in global docId order. */
+  sealed trait SelIn
+  final case class SelDoc(d: DocEval, inField: Boolean) extends SelIn
+  final case class SelCount(docId: Long, nPages: Int) extends SelIn
+
   /** selectDocs variant where field-set membership arrives as a per-doc
     * flag (already capped upstream at MAX_FOUND_DOCS field docs in docId
-    * order). Semantics identical: body docs cap first, intersection after. */
-  def selectDocsFlagged(
-      docsAsc: Iterator[(DocEval, Boolean)],
+    * order) and over-cap docs arrive as count-only stubs. Semantics
+    * identical: body docs cap first, intersection after. Filter-failing
+    * docs may arrive EITHER as full rows (the emitter need not evaluate
+    * filters) or as stubs (when it did): both paths count their pages and
+    * keep nothing. */
+  def selectDocsMixed(
+      rowsAsc: Iterator[SelIn],
       filters: Seq[String],
       hasFields: Boolean): (ArrayBuffer[Partial], Int) = {
     val filterPats = filters.map(f => java.util.regex.Pattern.compile(f))
@@ -140,32 +156,50 @@ object ResultAssembler {
     var nFoundDocs = 0
     var stop = false
     val kept = ArrayBuffer.empty[(Partial, Boolean)]
-    while (!stop && docsAsc.hasNext) {
-      val (d, inField) = docsAsc.next()
-      if (d.coords.nonEmpty) {
-        var pages = Ranker.pagesOf(d.coords, d.pageIds, d.pageEnds)
-        if (nFoundPages + pages.length > Consts.MaxFoundPages) {
-          val room = Consts.MaxFoundPages - nFoundPages + 1
-          pages = pages.take(room)
-          if (pages.nonEmpty) {
-            val last = pages.last
-            pages(pages.length - 1) = (last._1, last._2.take(1))
+    while (!stop && rowsAsc.hasNext) {
+      rowsAsc.next() match {
+        case SelCount(_, n0) =>
+          // a stub is never kept, so the mid-page trim reduces to count
+          // arithmetic: the overflowing page contributes exactly 1
+          var n = n0
+          if (nFoundPages + n > Consts.MaxFoundPages) {
+            n = Consts.MaxFoundPages - nFoundPages + 1
+            stop = true
           }
-          stop = true
-        }
-        nFoundPages += pages.length
-        if (nFoundDocs < Consts.MaxFoundDocs) {
-          val matched = filterPats.isEmpty || filterPats.exists(_.matcher(d.name).find())
-          if (matched) {
-            nFoundDocs += 1
-            kept += ((Partial(d, pages), inField))
+          nFoundPages += n
+        case SelDoc(d, inField) =>
+          if (d.coords.nonEmpty) {
+            var pages = Ranker.pagesOf(d.coords, d.pageIds, d.pageEnds)
+            if (nFoundPages + pages.length > Consts.MaxFoundPages) {
+              val room = Consts.MaxFoundPages - nFoundPages + 1
+              pages = pages.take(room)
+              if (pages.nonEmpty) {
+                val last = pages.last
+                pages(pages.length - 1) = (last._1, last._2.take(1))
+              }
+              stop = true
+            }
+            nFoundPages += pages.length
+            if (nFoundDocs < Consts.MaxFoundDocs) {
+              val matched = filterPats.isEmpty || filterPats.exists(_.matcher(d.name).find())
+              if (matched) {
+                nFoundDocs += 1
+                kept += ((Partial(d, pages), inField))
+              }
+            }
           }
-        }
       }
     }
     val keptFinal = if (hasFields) kept.filter(_._2).map(_._1) else kept.map(_._1)
     (keptFinal, nFoundPages)
   }
+
+  /** Back-compat wrapper: all rows fully evaluated. */
+  def selectDocsFlagged(
+      docsAsc: Iterator[(DocEval, Boolean)],
+      filters: Seq[String],
+      hasFields: Boolean): (ArrayBuffer[Partial], Int) =
+    selectDocsMixed(docsAsc.map { case (d, f) => SelDoc(d, f) }, filters, hasFields)
 
   /** Length of the docId-sorted prefix a partition must contribute so the
     * GLOBAL docId-ordered page-cap scan (selectDocs) can never miss a doc:

@@ -89,14 +89,63 @@ object BlockCache extends ShardCache[BlockShard] {
     sys.env.get("GRAFT_BLOCK_CACHE_MB").map(_.toLong << 20).getOrElse(4096L << 20)
 }
 
-/** One doc shard's encoded blocks keyed by term + its pre-decoded meta. */
+/** One term's fully decoded postings within a doc shard: ascending docIds
+  * with parallel per-doc coordinate arrays. */
+private[spark] final class DecodedTerm(
+    val docIds: Array[Long], val coords: Array[Array[Long]]) {
+  def heapBytes: Long = {
+    var b = 48L + 8L * docIds.length + 8L * coords.length
+    var i = 0
+    while (i < coords.length) { b += 24L + 8L * coords(i).length; i += 1 }
+    b
+  }
+}
+
+/** One doc shard's encoded blocks keyed by term + its pre-decoded meta.
+  * Queried terms lazily upgrade to [[DecodedTerm]] form (decode once per
+  * snapshot instead of once per batch — position varint decode was the
+  * second-largest hot-batch phase); the growth flows into the cache's
+  * budget via notePublishedGrowth and evicts with the shard. */
 private[spark] final class BlockShard(
     byTerm: java.util.HashMap[String, Array[PostingBlockRow]],
     val metaMap: scala.collection.mutable.LongMap[DocMetaRow],
-    val bytes: Long) extends CachedShard {
-  def cacheBytes: Long = bytes
+    initBytes: Long) extends CachedShard {
+  private val bytes = new java.util.concurrent.atomic.AtomicLong(initBytes)
+  private val decoded = new java.util.concurrent.ConcurrentHashMap[String, DecodedTerm]()
+  def cacheBytes: Long = bytes.get()
   def blocksOf(term: String): Array[PostingBlockRow] = {
     val a = byTerm.get(term)
     if (a == null) Array.empty else a
+  }
+  /** The term's postings decoded to (docId, coords) arrays, built on first
+    * request (a concurrent duplicate decode publishes once). */
+  def decodedOf(term: String): DecodedTerm = {
+    var d = decoded.get(term)
+    if (d == null) {
+      val blocks = blocksOf(term)
+      var n = 0
+      blocks.foreach(n += _.nDocs)
+      val ids = new Array[Long](n)
+      val cs = new Array[Array[Long]](n)
+      var i = 0
+      // per-term block order is ascending firstDocId (builder-written,
+      // preserved by both the scan and the cache fill), so ids ascend
+      blocks.foreach { b =>
+        IndexBuilder.decodeBlockFor(b, _ => true).foreach { case (docId, _, coords) =>
+          ids(i) = docId; cs(i) = coords; i += 1
+        }
+      }
+      d = new DecodedTerm(
+        if (i == n) ids else java.util.Arrays.copyOf(ids, i),
+        if (i == n) cs else java.util.Arrays.copyOf(cs, i))
+      val prev = decoded.putIfAbsent(term, d)
+      if (prev != null) d = prev
+      else {
+        val delta = d.heapBytes
+        bytes.addAndGet(delta)
+        BlockCache.notePublishedGrowth(this, delta)
+      }
+    }
+    d
   }
 }

@@ -61,22 +61,52 @@ object SparkSearcher {
     h.dequeueAll.toArray.sorted
   }
 
-  /** One selection partition per query of the batch: exact balance (a hash
-    * repartition puts 2+ queries in one task with high probability at any
-    * partition count near the query count, serializing the stragglers) and
-    * a partition id that IS the query id. */
+  /** Deterministic query→partition assignment for the selection stage:
+    * queries spread round-robin over ≤ min(queries, cores) partitions —
+    * exact balance (a hash repartition puts 2+ queries in one task with
+    * high probability at any partition count near the query count while
+    * leaving others empty) without exceeding one scheduling wave (per-task
+    * framework cost dominates the tiny selection work, so 40 tasks on 32
+    * cores cost two waves for nothing). */
   private[spark] final class QiPartitioner(n: Int) extends org.apache.spark.Partitioner {
     def numPartitions: Int = n
-    def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1
+    def getPartition(key: Any): Int = key.asInstanceOf[(Int, Long)]._1 % n
   }
 
   /** Compact wire codec for EvalRow across the selection shuffle: Java
     * serialization of the case class (nested Scala Seqs) cost ~1.5 ms/row
     * on both the write and read side — 5× the selection work itself —
     * where byte arrays take the serializer's primitive fast path. */
+  /** Zero-copy unwrap of a primitive-backed Seq[Long] (decodeMetaBlock*
+    * returns ArraySeq.ofLong) — the emit path calls page arithmetic per
+    * row and a defensive toArray per call showed up in its profile. */
+  private[spark] def longsOf(s: Seq[Long]): Array[Long] = s match {
+    case a: scala.collection.immutable.ArraySeq.ofLong => a.unsafeArray
+    case other => other.toArray
+  }
+
+  /** Wire tags: a full evaluated row vs a count-only stub (see
+    * [[ResultAssembler.SelIn]]). */
+  private[spark] final val TagFull: Byte = 0
+  private[spark] final val TagCount: Byte = 1
+
+  /** Count-only stub: (docId, page count) — 13 bytes for the long tail of
+    * a broad query, where a full row is 100s–1000s. */
+  private[spark] def encodeCount(docId: Long, nPages: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13)
+    bb.put(TagCount).putLong(docId).putInt(nPages)
+    bb.array()
+  }
+
+  private[spark] def decodeCount(b: Array[Byte]): ResultAssembler.SelCount = {
+    val bb = java.nio.ByteBuffer.wrap(b, 1, 12)
+    ResultAssembler.SelCount(bb.getLong(), bb.getInt())
+  }
+
   private[spark] def encodeEval(e: EvalRow): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(128 + 8 * e.coords.length)
     val o = new java.io.DataOutputStream(bos)
+    o.writeByte(TagFull)
     o.writeLong(e.docId)
     o.writeBoolean(e.fieldHit)
     o.writeUTF(e.name)
@@ -96,6 +126,7 @@ object SparkSearcher {
 
   private[spark] def decodeEval(b: Array[Byte]): EvalRow = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    in.readByte() // TagFull
     val docId = in.readLong()
     val fieldHit = in.readBoolean()
     val name = in.readUTF()
@@ -382,8 +413,10 @@ final class SparkSearcher(
     if (useBlockCache) {
       val tag = scanTag
       // defensive dedup: isin() tolerates repeated values, the cache path
-      // would yield a repeated term's blocks twice
-      val wantedB = spark.sparkContext.broadcast(wanted.distinct.toArray)
+      // would yield a repeated term's blocks twice. Closure-captured, not
+      // broadcast: the value is tiny and rides the per-stage task binary
+      // (a separate broadcast adds a synchronized fetch per task).
+      val wantedArr = wanted.distinct.toArray
       posScanRdd.mapPartitionsWithIndex { (idx, it) =>
         val key = tag + "#" + idx
         var sh = BlockCache.get(key)
@@ -391,7 +424,7 @@ final class SparkSearcher(
         // lazy — on a hit it is never touched and no file is opened)
         if (sh == null) sh = BlockCache.put(key, BlockCache.build(it))
         Iterator.single(new PartBlockSource(
-          wantedB.value.iterator.flatMap(t => sh.blocksOf(t).iterator), sh))
+          wantedArr.iterator.flatMap(t => sh.blocksOf(t).iterator), sh))
       }
     } else {
       val wanted2 = if (withMeta) wanted :+ IndexBuilder.MetaTerm else wanted
@@ -775,21 +808,34 @@ final class SparkSearcher(
     val scoringPer: Seq[Array[String]] =
       plans.map(_.leaves.filter(_.field.isEmpty).flatMap(_.codes).distinct.toArray)
 
-    val plansB = spark.sparkContext.broadcast(plans.toArray)
-    val scoringBatch = spark.sparkContext.broadcast(scoringPer.toArray)
+    // closure-captured (not broadcast): both values are small and each
+    // stage's task binary is itself broadcast once — separate broadcasts
+    // added a synchronized block fetch per task per batch
+    val plansArr = plans.toArray
+    val scoringArr = scoringPer.toArray
     val blocksRdd = blockSource(allCodes, withMeta = true)
     val wantInfo = withWordInfo
-    val evalsRdd: org.apache.spark.rdd.RDD[(Int, EvalRow)] = blocksRdd.mapPartitions { srcIt =>
+    // rows are ((qi, docId), codec-encoded EvalRow) — keyed for the
+    // selection shuffle, pre-encoded in-task (see SparkSearcher.encodeEval)
+    val evalsRdd: org.apache.spark.rdd.RDD[((Int, Long), Array[Byte])] =
+      blocksRdd.mapPartitions { srcIt =>
       val src = srcIt.next()
       val it = src.rows
-      val ps = plansB.value
-      val sc = scoringBatch.value
+      val ps = plansArr
+      val sc = scoringArr
       val pTiming = sys.env.contains("GRAFT_TIMING")
       var pT = System.nanoTime()
+      val pCpu0 = if (pTiming)
+        java.lang.management.ManagementFactory.getThreadMXBean.getCurrentThreadCpuTime else 0L
       def pMark(s: String): Unit = if (pTiming) {
         val now = System.nanoTime()
         System.err.println(f"[graft-timing] sbpart $s: ${(now - pT) / 1e9}%.3fs")
         pT = now
+      }
+      val pT0 = pT
+      def pCpuMark(): Unit = if (pTiming) {
+        val c = java.lang.management.ManagementFactory.getThreadMXBean.getCurrentThreadCpuTime
+        System.err.println(f"[graft-timing] sbpart taskcpu: ${(c - pCpu0) / 1e9}%.3fs wall=${(System.nanoTime() - pT0) / 1e9}%.3fs")
       }
       val metaRows = mutable.ArrayBuffer.empty[PostingBlockRow]
       // dense per-partition code interning: presence rides per-doc bitmasks
@@ -804,15 +850,20 @@ final class SparkSearcher(
       val byDoc = mutable.LongMap.empty[Array[Array[Long]]]
       val candQis = mutable.HashMap.empty[Long, Array[Int]]
       val allQis = ps.indices.toArray
+      // Cache-served shards skip the row iterator entirely: blocks come
+      // from the shard map by term, positions from the per-term decoded
+      // upgrade (decode once per snapshot, not once per batch), meta from
+      // the pre-decoded map. The scan path below is the 10^12-doc route.
+      val useShard = src.shard != null
       // with word info every doc is evaluated for every query (per-leaf
       // counts), so the presence prescreen selects nothing — stream blocks
       // straight into the decode, no per-partition block buffer. Without
       // word info the two-pass form re-reads from a bounded spill buffer.
-      val rows = if (wantInfo) null else new BlockSpillBuffer()
+      val rows = if (wantInfo || useShard) null else new BlockSpillBuffer()
       var metaBytes = 0L
       var postBytes = 0L
       var nRows = 0L
-      it.foreach { b =>
+      if (!useShard) it.foreach { b =>
         if (pTiming) {
           val n = b.docDeltas.length.toLong + b.tfs.length + b.dls.length + b.posDeltas.length
           if (b.term == IndexBuilder.MetaTerm) metaBytes += n else postBytes += n
@@ -827,6 +878,18 @@ final class SparkSearcher(
             }
         } else rows += b
       }
+      else if (wantInfo) {
+        var ci = 0
+        while (ci < nCodes) {
+          val dt = src.shard.decodedOf(codeArr(ci))
+          var i = 0
+          while (i < dt.docIds.length) {
+            byDoc.getOrElseUpdate(dt.docIds(i), new Array[Array[Long]](nCodes))(ci) = dt.coords(i)
+            i += 1
+          }
+          ci += 1
+        }
+      }
       pMark(s"ingest rows=$nRows meta=${metaBytes / 1024}KB post=${postBytes / 1024}KB")
       if (wantInfo) byDoc.foreachKey(d => candQis(d) = allQis)
       else {
@@ -834,16 +897,23 @@ final class SparkSearcher(
         // per-doc presence is a code-id bitmask (zero allocation per
         // posting, one small array per doc)
         val present = mutable.LongMap.empty[Array[Long]]
-        rows.foreach { b =>
-          val id = codeIds.get(b.term)
-          if (id != null) {
-            val w = id.intValue >>> 6
-            val bit = 1L << (id.intValue & 63)
-            IndexBuilder.foreachDocId(b) { d =>
-              val m = present.getOrElseUpdate(d, new Array[Long](cWords))
-              m(w) |= bit
-            }
+        def presenceOf(id: Int, b: PostingBlockRow): Unit = {
+          val w = id >>> 6
+          val bit = 1L << (id & 63)
+          IndexBuilder.foreachDocId(b) { d =>
+            val m = present.getOrElseUpdate(d, new Array[Long](cWords))
+            m(w) |= bit
           }
+        }
+        if (useShard) {
+          var ci = 0
+          while (ci < nCodes) {
+            src.shard.blocksOf(codeArr(ci)).foreach(presenceOf(ci, _))
+            ci += 1
+          }
+        } else rows.foreach { b =>
+          val id = codeIds.get(b.term)
+          if (id != null) presenceOf(id.intValue, b)
         }
         pMark("presence")
         // which queries can each doc possibly satisfy (presence algebra)?
@@ -880,30 +950,52 @@ final class SparkSearcher(
           candMask(d) = m
         }
         val codeSets: Array[Set[String]] = ps.map(_.allCodes.toSet)
-        val termMask = mutable.HashMap.empty[String, Array[Long]]
-        rows.foreach { b =>
-          val tm = termMask.getOrElseUpdate(b.term, {
-            val m = new Array[Long](nqWords)
-            var qi = 0
-            while (qi < ps.length) {
-              if (codeSets(qi).contains(b.term)) m(qi >>> 6) |= 1L << (qi & 63)
-              qi += 1
-            }
-            m
-          })
-          val want: Long => Boolean = d => candMask.get(d).exists { cm =>
-            var w = 0
-            var hit = false
-            while (w < nqWords && !hit) { hit = (cm(w) & tm(w)) != 0L; w += 1 }
-            hit
+        def termMaskOf(term: String): Array[Long] = {
+          val m = new Array[Long](nqWords)
+          var qi = 0
+          while (qi < ps.length) {
+            if (codeSets(qi).contains(term)) m(qi >>> 6) |= 1L << (qi & 63)
+            qi += 1
           }
-          val id = codeIds.get(b.term)
-          if (id != null)
-            IndexBuilder.decodeBlockFor(b, want).foreach { case (d, _, coords) =>
-              byDoc.getOrElseUpdate(d, new Array[Array[Long]](nCodes))(id.intValue) = coords
-            }
+          m
         }
-        rows.close()
+        def wantWith(tm: Array[Long]): Long => Boolean = d => candMask.get(d).exists { cm =>
+          var w = 0
+          var hit = false
+          while (w < nqWords && !hit) { hit = (cm(w) & tm(w)) != 0L; w += 1 }
+          hit
+        }
+        if (useShard) {
+          // positions come pre-decoded from the shard's per-term upgrade;
+          // the per-doc candidate mask still gates what enters byDoc
+          var ci = 0
+          while (ci < nCodes) {
+            val term = codeArr(ci)
+            if (src.shard.blocksOf(term).nonEmpty) {
+              val want = wantWith(termMaskOf(term))
+              val dt = src.shard.decodedOf(term)
+              var i = 0
+              while (i < dt.docIds.length) {
+                val d = dt.docIds(i)
+                if (want(d))
+                  byDoc.getOrElseUpdate(d, new Array[Array[Long]](nCodes))(ci) = dt.coords(i)
+                i += 1
+              }
+            }
+            ci += 1
+          }
+        } else {
+          val termMask = mutable.HashMap.empty[String, Array[Long]]
+          rows.foreach { b =>
+            val tm = termMask.getOrElseUpdate(b.term, termMaskOf(b.term))
+            val id = codeIds.get(b.term)
+            if (id != null)
+              IndexBuilder.decodeBlockFor(b, wantWith(tm)).foreach { case (d, _, coords) =>
+                byDoc.getOrElseUpdate(d, new Array[Array[Long]](nCodes))(id.intValue) = coords
+              }
+          }
+          rows.close()
+        }
         pMark("posDecode")
       }
       // evaluate, grouped per query (rows without result coords never
@@ -1023,32 +1115,54 @@ final class SparkSearcher(
       //   docId = -2 → per-partition per-leaf word-count sums;
       //   docId = -1 → this partition's first ≤MaxFoundDocs field-hit
       //                docIds (ascending), in leafCounts.
-      ps.indices.iterator.flatMap { qi =>
+      val emitted = mutable.ArrayBuffer.empty[((Int, Long), Array[Byte])]
+      var qi = 0
+      while (qi < ps.length) {
         val arr = perQi(qi) // ascending by construction (sorted iteration)
-        val out = mutable.ArrayBuffer.empty[(Int, EvalRow)]
         if (wantInfo && wordSums(qi).exists(_ != 0L))
-          out += ((qi, EvalRow(-2L, Array.emptyLongArray, fieldHit = false,
-            wordSums(qi), Array.empty, Array.emptyLongArray, "", Nil, Nil, 0L)))
+          emitted += (((qi, -2L), SparkSearcher.encodeEval(
+            EvalRow(-2L, Array.emptyLongArray, fieldHit = false,
+              wordSums(qi), Array.empty, Array.emptyLongArray, "", Nil, Nil, 0L))))
         if (wantField(qi) && fieldHits(qi).nonEmpty)
-          out += ((qi, EvalRow(-1L, Array.emptyLongArray, fieldHit = false,
-            fieldHits(qi).toArray, Array.empty, Array.emptyLongArray, "", Nil, Nil, 0L)))
-        val keep = ResultAssembler.pageCapPrefix[(Long, Array[Long], Boolean, Array[Long], Array[Long])](
-          arr,
-          p => metaGet(p._1)
-            .map(md => Ranker.pagesOf(p._2, md.pageIds.toArray, md.pageEnds.toArray).length)
-            .getOrElse(0),
-          Consts.MaxFoundPages)
+          emitted += (((qi, -1L), SparkSearcher.encodeEval(
+            EvalRow(-1L, Array.emptyLongArray, fieldHit = false,
+              fieldHits(qi).toArray, Array.empty, Array.emptyLongArray, "", Nil, Nil, 0L))))
+        // Page-cap prefix in local docId order (same soundness argument as
+        // pageCapPrefix — local cumulative ≤ global cumulative). Within
+        // the prefix, FULL rows ship only for the partition's first
+        // MaxFoundDocs filter-passing docs (any globally-kept doc is
+        // within its partition's local first-500-passing); the long tail
+        // of a broad query ships 13-byte (docId, pageCount) stubs, since
+        // beyond the doc cap a doc affects the result only through its
+        // page count. This cut the selection shuffle from ~full rows per
+        // match (90k+/partition on broad batches) to ≤500 full rows per
+        // (query, partition) + stubs.
+        val fPats = ps(qi).filters.map(f => java.util.regex.Pattern.compile(f))
+        var cum = 0L
+        var nFull = 0
         var i = 0
-        while (i < keep) {
+        while (i < arr.length && cum <= Consts.MaxFoundPages) {
           val (docId, coords, fieldHit, leafCounts, tfs) = arr(i)
           metaGet(docId).foreach { md =>
-            out += ((qi, EvalRow(docId, coords, fieldHit, leafCounts, sc(qi), tfs,
-              md.name, md.pageIds, md.pageEnds, md.docLen)))
+            val nP = Ranker.pagesHitCount(coords, SparkSearcher.longsOf(md.pageEnds))
+            cum += nP
+            val passes = fPats.isEmpty || fPats.exists(_.matcher(md.name).find())
+            if (passes && nFull < Consts.MaxFoundDocs) {
+              nFull += 1
+              emitted += (((qi, docId), SparkSearcher.encodeEval(
+                EvalRow(docId, coords, fieldHit, leafCounts, sc(qi), tfs,
+                  md.name, md.pageIds, md.pageEnds, md.docLen))))
+            } else {
+              emitted += (((qi, docId), SparkSearcher.encodeCount(docId, nP)))
+            }
           }
           i += 1
         }
-        out.iterator
+        qi += 1
       }
+      pMark(s"emit rows=${emitted.length}")
+      pCpuMark()
+      emitted.iterator
     }
 
     // Distributed per-query selection: key the page-cap-cut eval rows by
@@ -1068,10 +1182,10 @@ final class SparkSearcher(
     // (the previous standalone field-pass job re-ingested the same blocks
     // and collect()ed per-partition hits).
     val selected: Array[SelOutRow] = evalsRdd
-      .map { case (qi, e) => ((qi, e.docId), SparkSearcher.encodeEval(e)) }
-      .repartitionAndSortWithinPartitions(new SparkSearcher.QiPartitioner(plans.length))
+      .repartitionAndSortWithinPartitions(new SparkSearcher.QiPartitioner(
+        math.max(1, math.min(plans.length, spark.sparkContext.defaultParallelism))))
       .mapPartitions { it =>
-        val ps = plansB.value
+        val ps = plansArr
         val buf = it.buffered
         val out = mutable.ArrayBuffer.empty[SelOutRow]
         while (buf.hasNext) {
@@ -1094,19 +1208,23 @@ final class SparkSearcher(
           }
           val fieldSet: Set[Long] =
             SparkSearcher.boundedFirstK(fieldArrays, Consts.MaxFoundDocs).toSet
-          val iter: Iterator[(ResultAssembler.DocEval, Boolean)] =
-            new Iterator[(ResultAssembler.DocEval, Boolean)] {
+          val iter: Iterator[ResultAssembler.SelIn] =
+            new Iterator[ResultAssembler.SelIn] {
               def hasNext: Boolean = buf.hasNext && buf.head._1._1 == qi
-              def next(): (ResultAssembler.DocEval, Boolean) = {
-                val e = SparkSearcher.decodeEval(buf.next()._2)
-                val inField = hasFields && e.fieldHit && fieldSet.contains(e.docId)
-                (ResultAssembler.DocEval(e.docId, e.name, e.coords,
-                  e.pageIds.toArray, e.pageEnds.toArray, e.docLen,
-                  e.codes.zip(e.tfs).filter(_._2 > 0).toSeq), inField || !hasFields)
+              def next(): ResultAssembler.SelIn = {
+                val bytes = buf.next()._2
+                if (bytes(0) == SparkSearcher.TagCount) SparkSearcher.decodeCount(bytes)
+                else {
+                  val e = SparkSearcher.decodeEval(bytes)
+                  val inField = hasFields && e.fieldHit && fieldSet.contains(e.docId)
+                  ResultAssembler.SelDoc(ResultAssembler.DocEval(e.docId, e.name, e.coords,
+                    e.pageIds.toArray, e.pageEnds.toArray, e.docLen,
+                    e.codes.zip(e.tfs).filter(_._2 > 0).toSeq), inField || !hasFields)
+                }
               }
             }
           val (kept, nPages) =
-            ResultAssembler.selectDocsFlagged(iter, ps(qi).filters, hasFields)
+            ResultAssembler.selectDocsMixed(iter, ps(qi).filters, hasFields)
           // skip residual rows of this query (bounded by the upstream cut)
           while (buf.hasNext && buf.head._1._1 == qi) buf.next()
           out += SelOutRow(qi, nPages, wc.toSeq, kept.iterator.map(p =>
@@ -1121,12 +1239,21 @@ final class SparkSearcher(
     sbMark("evalSelect")
     val selByQi: Map[Int, SelOutRow] = selected.iterator.map(r => r.qi -> r).toMap
 
-    // texts + enrichment, one fetch for the union of kept docs
+    // texts + enrichment, one fetch for the union of kept docs; the
+    // header/body page split is pure string work over full doc bodies —
+    // spread it across driver cores instead of one post-collect loop
     val allKeptIds = selected.iterator.flatMap(_.docs.iterator.map(_.docId)).toSeq.distinct
     val textMap: Map[Long, ResultAssembler.Texts] =
       if (allKeptIds.isEmpty) Map.empty
-      else docText.filter($"docId".isin(allKeptIds: _*))
-        .collect().map(d => d.docId -> ResultAssembler.Texts(d.header, bodyPagesOf(d.body))).toMap
+      else {
+        val rows = docText.filter($"docId".isin(allKeptIds: _*)).collect()
+        val pairs = new Array[(Long, ResultAssembler.Texts)](rows.length)
+        java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
+          val d = rows(i)
+          pairs(i) = d.docId -> ResultAssembler.Texts(d.header, bodyPagesOf(d.body))
+        }
+        pairs.toMap
+      }
     sbMark("textFetch")
 
     // snippet/rank enrichment is pure per query (immutable snapshot reads

@@ -32,7 +32,7 @@ object SearchProbe {
           val secs = (for (a <- i.completionTime; b <- i.submissionTime) yield (a - b) / 1e3).getOrElse(-1.0)
           val m = i.taskMetrics
           System.err.println(
-            f"[sprobe-stg] ${i.stageId}%3d wall=$secs%6.2fs tasks=${i.numTasks}%3d cpu=${m.executorCpuTime / 1e9}%6.2fs run=${m.executorRunTime / 1e3}%6.2fs gc=${m.jvmGCTime / 1e3}%5.2fs in=${m.inputMetrics.bytesRead / 1e6}%6.1fMB res=${m.resultSize / 1e6}%5.1fMB ${i.name.take(50)}")
+            f"[sprobe-stg] ${i.stageId}%3d wall=$secs%6.2fs tasks=${i.numTasks}%3d cpu=${m.executorCpuTime / 1e9}%6.2fs run=${m.executorRunTime / 1e3}%6.2fs des=${m.executorDeserializeTime / 1e3}%5.2fs gc=${m.jvmGCTime / 1e3}%5.2fs in=${m.inputMetrics.bytesRead / 1e6}%6.1fMB res=${m.resultSize / 1e6}%5.1fMB ${i.name.take(50)}")
         }
       })
     s
