@@ -2025,6 +2025,7 @@ final class SparkSearcher(
     val res = new Array[Seq[(Long, Double)]](qSlot.length)
     java.util.stream.IntStream.range(0, qSlot.length).parallel()
       .forEach(i => res(i) = perSlot(qSlot(i)))
+    mark("driverMerge")
     scala.collection.immutable.ArraySeq.unsafeWrapArray(res)
   }
 

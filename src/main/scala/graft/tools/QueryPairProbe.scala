@@ -4,12 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Fast-iteration probe for the BM25 batch query scaling pair: builds the
   * 24-shard index ONCE (at full parallelism), then measures the HOT batch
-  * at local[2] and local[8] in the same JVM (the ContribCache is
+  * at local[lo] and local[hi] in the same JVM (the ContribCache is
   * JVM-global, so both legs serve from the identical decoded shards —
   * this isolates scorer + driver-tail scaling from build noise).
   *
   * Usage: GRAFT_PROBE_DOCS=400000 GRAFT_PROBE_QUERIES=96000
   *        GRAFT_PROBE_REPS=3 sbt "runMain graft.tools.QueryPairProbe"
+  * Legs default to the headline 2-vs-8 pair; GRAFT_PROBE_LO / GRAFT_PROBE_HI
+  * select others (8/32 for the oversubscribed raw pair).
   */
 object QueryPairProbe {
 
@@ -81,10 +83,13 @@ object QueryPairProbe {
       } finally s.stop()
     }
 
+    val loC = sys.env.getOrElse("GRAFT_PROBE_LO", "2").toInt
+    val hiC = sys.env.getOrElse("GRAFT_PROBE_HI", "8").toInt
+    val ratio = hiC.toDouble / loC
     (0 until sys.env.getOrElse("GRAFT_PROBE_PAIRS", "3").toInt).foreach { i =>
-      val t2 = leg(2)
-      val t8 = leg(8)
-      println(f"[qpair] rep=$i c2=${t2}%.3fs (${nQueries / t2}%.0f qps)  c8=${t8}%.3fs (${nQueries / t8}%.0f qps)  eff=${t2 / (4 * t8)}%.3f")
+      val tLo = leg(loC)
+      val tHi = leg(hiC)
+      println(f"[qpair] rep=$i c$loC=${tLo}%.3fs (${nQueries / tLo}%.0f qps)  c$hiC=${tHi}%.3fs (${nQueries / tHi}%.0f qps)  eff=${tLo / (ratio * tHi)}%.3f")
     }
   }
 }
