@@ -22,6 +22,19 @@ import scala.collection.mutable
   *                      batch mode for throughput).
   */
 object SparkSearcher {
+  /** Snapshot tags whose ContribCache fill job has COMPLETED at least once
+    * this JVM — the driver-side hint that lets later BM25 batches chunk the
+    * slot space (wave smoothing; see bm25TopKBatch). A hint only: a chunked
+    * task whose shard was evicted refills from its own scan partition, so
+    * correctness never depends on this set. Driver-global (the driver
+    * outlives searcher instances, like the executor-side caches do). */
+  private[spark] val warmContribTags: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hook: force the BM25 hot-batch slot-chunk count (see
+    * bm25TopKBatch). Production uses GRAFT_BM25_SLOT_CHUNKS / auto. */
+  private[graft] var slotChunksOverride: Option[Int] = None
+
   /** Open with the analyzer persisted at build time (falls back to the
     * default analyzer for pre-analyzer.bin indexes). */
   def open(spark: SparkSession, indexDir: String): SparkSearcher =
@@ -1750,8 +1763,73 @@ final class SparkSearcher(
         postings
           .filter($"term".isInCollection(allCodes :+ IndexBuilder.DlStripTerm))
           .select(slimCols: _*).as[BmBlockRow].rdd
-    val perBucket: org.apache.spark.rdd.RDD[FlatTopK] = scanRdd
-      .mapPartitionsWithIndex { (shardIdx, blocks0) =>
+    // HOT-batch wave smoothing: with one task per shard file, a shard count
+    // near the core count runs the score job as a single partial wave whose
+    // wall clock is its SLOWEST task (at 24 shards / 32 cores the N→4N pair
+    // measured ~0.45 raw efficiency — the c32 leg was quantized to one
+    // straggler-bound wave while c8 ran 3 full waves near the CPU bound).
+    // Once the snapshot is known cache-resident (a previous cacheOn batch
+    // completed for this tag), split the DISTINCT-SLOT space into
+    // cost-balanced contiguous ranges and run (shard × slot-chunk) tasks:
+    // each (slot, shard) pair is still merged exactly once — no work is
+    // duplicated — but the job gets ≥4 waves of schedulable tasks at the
+    // high-core leg. Contiguous ranges preserve the hot-code locality sort
+    // above; per-slot cost is estimated as Σ df of the slot's codes (the
+    // exact lengths of the arrays the merge walks). A chunked task whose
+    // shard was EVICTED between batches degrades gracefully: it refills
+    // from its parent scan partition (g-way redundant decode of that shard,
+    // first put wins, self-heals next batch) — correctness never depends on
+    // the warm flag. Cold/fill batches and the isin path stay one task per
+    // shard: chunking a fill would multiply the decode g-fold.
+    val nShards = scanRdd.getNumPartitions
+    val slotChunks: Int = {
+      val conf = SparkSearcher.slotChunksOverride
+        .orElse(sys.env.get("GRAFT_BM25_SLOT_CHUNKS").map(_.toInt))
+      val warm = cacheOn && SparkSearcher.warmContribTags.contains(cacheTag)
+      if (conf.contains(0) || !warm || nShards == 0) 1
+      else conf.getOrElse {
+        // ~2 waves of tasks: probed best on the 8→32 pair (24 shards,
+        // g=3 → 72 tasks at c32: hot batch 0.45→0.37 s; g=6/144 tasks
+        // re-lost the gain to per-task dispatch+deser). When shards
+        // already give ≥2 waves (the c8 leg, or a real cluster's
+        // thousands of shard files), g stays 1 — chunking is a small-
+        // shard-count serving aid, not a scale-path change.
+        val waves = 2.0
+        val g = math.ceil(waves * spark.sparkContext.defaultParallelism / nShards).toInt
+        math.min(16, math.max(1, math.min(g, distinctCodes.length / 64)))
+      }
+    }
+    val chunkRanges: Array[(Int, Int)] =
+      if (slotChunks <= 1) Array((0, distinctCodes.length))
+      else {
+        val n = distinctCodes.length
+        val dfsLocal = dfs
+        val costs = new Array[Long](n)
+        java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+          var s = 1L // floor: empty/rare slots still cost a merge setup
+          distinctCodes(i).foreach(c => s += dfsLocal.getOrElse(c, 0L))
+          costs(i) = s
+        }
+        var total = 0L
+        costs.foreach(total += _)
+        val out = Array.newBuilder[(Int, Int)]
+        var lo = 0
+        var cum = 0L
+        var ci = 1
+        var i = 0
+        while (i < n) {
+          cum += costs(i)
+          if (ci < slotChunks && cum >= total * ci / slotChunks) {
+            out += ((lo, i + 1)); lo = i + 1; ci += 1
+          }
+          i += 1
+        }
+        if (lo < n) out += ((lo, n))
+        out.result()
+      }
+    def shardClosure(slotLo: Int, slotHi: Int)
+        : (Int, Iterator[BmBlockRow]) => Iterator[FlatTopK] =
+      (shardIdx, blocks0) => {
         val (bQIdf, bIdf, codeSet) = batchB.value
         val tTiming = sys.env.contains("GRAFT_TIMING")
         var tPhase = System.nanoTime()
@@ -1872,27 +1950,34 @@ final class SparkSearcher(
         } else phaseMark("scan")
         if (shard != null) {
           base = shard.base
-          // Promote every queried code UP FRONT (one pass, null-free merge
-          // loop): the per-(slot, code) promote path hid the score-array
-          // construction inside the merge mark and paid CHM churn per slot.
+          // Promote every queried code of THIS SLOT RANGE up front (one
+          // pass, null-free merge loop): the per-(slot, code) promote path
+          // hid the score-array construction inside the merge mark and paid
+          // CHM churn per slot. Promotion is idempotent and thread-safe
+          // (CHM putIfAbsent), so concurrent chunk tasks of one shard are
+          // safe; ranges carry their codes' idfs in bQIdf.
           val s0 = shard
-          codeSet.foreach { c =>
-            val idf = bIdf.getOrElse(c, 0.0)
-            s0.promote(c, idf, ad)
+          val promoted = new java.util.HashSet[String]()
+          var pq = slotLo
+          while (pq < slotHi) {
+            bQIdf(pq).foreach { case (c, cIdf) =>
+              if (promoted.add(c)) s0.promote(c, cIdf, ad)
+            }
+            pq += 1
           }
         }
         phaseMark("contrib")
         val qs = bQIdf.toArray
         val tops = new Array[(Array[Long], Array[Double])](qs.length)
         var maxCodes = 1
-        var mq = 0
-        while (mq < qs.length) {
+        var mq = slotLo
+        while (mq < slotHi) {
           if (qs(mq).length > maxCodes) maxCodes = qs(mq).length
           mq += 1
         }
         val ws = new MergeWs(maxCodes, k)
-        var qi = 0
-        while (qi < qs.length) {
+        var qi = slotLo
+        while (qi < slotHi) {
           if (shard != null) {
             val cm = shard.contrib
             val src = qs(qi)
@@ -1912,18 +1997,20 @@ final class SparkSearcher(
           qi += 1
         }
         // flatten to one primitive-array struct for the treeReduce exchange
+        // (counts stays full-length — slots outside this task's range are
+        // zero; the driver merge and mergeFlatTopK skip zero counts)
         val counts = new Array[Int](qs.length)
         var total = 0
-        qi = 0
-        while (qi < qs.length) {
+        qi = slotLo
+        while (qi < slotHi) {
           if (tops(qi) != null) { counts(qi) = tops(qi)._1.length; total += counts(qi) }
           qi += 1
         }
         val fIds = new Array[Long](total)
         val fSs = new Array[Double](total)
         var o = 0
-        qi = 0
-        while (qi < qs.length) {
+        qi = slotLo
+        while (qi < slotHi) {
           val t = tops(qi)
           if (t != null) {
             System.arraycopy(t._1, 0, fIds, o, t._1.length)
@@ -1935,6 +2022,13 @@ final class SparkSearcher(
         phaseMark("merge")
         Iterator.single(FlatTopK(counts, fIds, fSs))
       }
+    val perBucket: org.apache.spark.rdd.RDD[FlatTopK] =
+      if (chunkRanges.length == 1)
+        scanRdd.mapPartitionsWithIndex(shardClosure(0, distinctCodes.length))
+      else
+        spark.sparkContext.union(chunkRanges.toIndexedSeq.map { case (lo, hi) =>
+          scanRdd.mapPartitionsWithIndex(shardClosure(lo, hi))
+        })
 
     // Two-level merge with NO exchange at all: a narrow coalesce to one
     // partial per core pipelines several shard closures into each task
@@ -1958,7 +2052,11 @@ final class SparkSearcher(
     // the 1000-executor case), where driver ingress is the scarcer
     // resource.
     val nParts = perBucket.getNumPartitions
-    val estFanInBytes = 16L * distinctCodes.length * kk * math.max(nParts, 1)
+    // entry payload is bounded by Q_distinct×k per SHARD regardless of slot
+    // chunking (chunks partition the slot space); the per-partial counts
+    // arrays (4 B × nSlots each) are what chunking multiplies
+    val estFanInBytes = 16L * distinctCodes.length * kk * math.max(nShards, 1) +
+      4L * distinctCodes.length * math.max(nParts, 1)
     val partials: Array[FlatTopK] =
       if (nParts == 0) Array.empty
       else if (estFanInBytes <= (256L << 20)) perBucket.collect()
@@ -1967,6 +2065,9 @@ final class SparkSearcher(
         .mapPartitions(ps => ps.reduceOption(mergeFlatTopK(_, _, kk)).iterator)
         .collect()
     mark("scoreJob")
+    // the snapshot's shards are now cache-resident (the job above filled any
+    // missing ones) — later batches on this tag may chunk the slot space
+    if (cacheOn) SparkSearcher.warmContribTags.add(cacheTag)
     // Last merge level runs ON THE DRIVER as one parallel per-slot k-way
     // selection over ≤nCombine partials. The former sequential pairwise
     // .reduce was a serial tail that GREW with core count (nCombine−1

@@ -124,6 +124,35 @@ class ContribCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("slot-chunked hot batches (wave smoothing) are bit-identical to unchunked and reference") {
+    ContribCache.clear()
+    ContribCache.maxBytesOverride = Some(4096L << 20)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graftcc4").toString
+      buildInto(dir, 150)
+      val searcher = new SparkSearcher(spark, dir, Analyzer())
+      val ref = memOf(150)
+      // widen the batch so the slot space has something to split (distinct
+      // code sets = distinct slots), including duplicates (slot fan-out)
+      val wide = queries ++ Seq(Seq("running"), Seq("ladies", "game"),
+        Seq("company", "old"), Seq("tupman", "lady"), Seq("old", "lady"))
+      val cold = searcher.bm25TopKBatch(wide, 10) // fills cache, marks tag warm
+      for (chunks <- Seq(2, 3, 7)) {
+        SparkSearcher.slotChunksOverride = Some(chunks)
+        val hot = searcher.bm25TopKBatch(wide, 10)
+        assert(hot == cold, s"chunked hot batch (g=$chunks) diverged from cold")
+      }
+      SparkSearcher.slotChunksOverride = None
+      wide.zipWithIndex.foreach { case (q, i) =>
+        assert(cold(i) == ref.bm25TopK(q, 10), s"reference diverges [$q]")
+      }
+    } finally {
+      SparkSearcher.slotChunksOverride = None
+      ContribCache.maxBytesOverride = None
+      ContribCache.clear()
+    }
+  }
+
   test("LRU eviction across competing snapshots keeps results exact") {
     // two snapshots of the SAME corpus in different dirs: distinct cache
     // keys, equal footprints — under a budget equal to ONE snapshot's
