@@ -450,6 +450,27 @@ final class SparkSearcher(
   // query hit the dictionary once, not twice (driver-sequential usage)
   @transient @volatile private var lastLookup: Map[String, Long] = Map.empty
 
+  /** searchBatch's per-(request, dist) plan memo — see its scaladoc note.
+    * Values are (immutable plan, df of its codes); snapshot-pinned by
+    * construction (one searcher = one snapshot). */
+  @transient private lazy val planMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (QueryPlan, Map[String, Long])]()
+
+  /** Driver-side LRU of snippet texts (docId → header/pages), snapshot-
+    * pinned like [[planMemo]]: doc bodies are immutable under a snapshot,
+    * and repeated serving batches keep hitting the same popular docs — a
+    * hit skips the per-batch point-lookup parquet job entirely. Byte-
+    * bounded (GRAFT_TEXT_CACHE_MB, default 256; 0 disables), accessed
+    * under its own lock (REST serves batches concurrently). */
+  @transient private lazy val textMemo =
+    new java.util.LinkedHashMap[Long, ResultAssembler.Texts](1024, 0.75f, true)
+  @transient private var textMemoBytes = 0L
+  private val textMemoBudget: Long =
+    sys.env.get("GRAFT_TEXT_CACHE_MB").map(_.toLong << 20).getOrElse(256L << 20)
+  private def textsBytes(t: ResultAssembler.Texts): Long =
+    2L * t.header.length +
+      t.bodyPages.iterator.map(p => 2L * (p._1.length + p._2.length) + 80).sum + 96
+
   override def existing(codes: Seq[String]): Set[String] =
     if (codes.isEmpty) Set.empty
     else dictCache match {
@@ -794,25 +815,54 @@ final class SparkSearcher(
       sbT = now
     }
 
-    // plan all queries with ONE existence round-trip: prefetch the union of
-    // candidate codes, then serve plan() from the map (wildcards still scan)
-    val parsedAll = reqs.map { case (r, _) => QueryParser.parse(r, analyzer.stopWords) }
-    val prelim = parsedAll.map(p => p.leaves.map(spec =>
-      QueryPlanner.chooseCodes(spec.word, spec.exact, analyzer, this)._1))
-    val fieldCodes = parsedAll.flatMap(_.leaves.flatMap(_.field))
-      .distinct.map(f => Consts.FieldNameChar.toString + f)
-    val union = (prelim.flatten.flatten ++ fieldCodes).distinct
-    val present = existing(union)
-    val presentDf = lastLookup
-    val servedDict = new TermDict {
-      override def existing(codes: Seq[String]): Set[String] = codes.filter(present).toSet
-      override def likeWords(regex: String, limit: Int): Seq[String] =
-        SparkSearcher.this.likeWords(regex, limit)
+    // Per-(request, dist) PLAN MEMO, snapshot-pinned: this searcher is
+    // pinned to one snapshot, so a plan (an immutable case class) and the
+    // dfs of its codes are deterministic functions of (request, dist) and
+    // can be reused across batches — repeated serving batches skip parse,
+    // code choice, the existence round-trip, and the wildcard dictionary
+    // scans entirely (~0.2 s/batch of the hot positional path). Misses take
+    // the original route: one existence prefetch over the union of the
+    // missing requests' candidate codes, then plan() served from that map
+    // (restricting the union to misses is equivalent — a plan consults only
+    // its own codes). Bounded admission guards unbounded REST query streams.
+    val memoKeys = reqs.map { case (r, o) => r + " " + o.dist }
+    val memoHits = memoKeys.map(planMemo.get)
+    val missIdx = memoHits.indices.filter(memoHits(_) == null)
+    val plansAll = new Array[QueryPlan](reqs.length)
+    val dfAll = mutable.HashMap.empty[String, Long]
+    memoHits.indices.foreach { i =>
+      val h = memoHits(i)
+      if (h != null) { plansAll(i) = h._1; dfAll ++= h._2 }
     }
+    if (missIdx.nonEmpty) {
+      val parsedMiss = missIdx.map(i => QueryParser.parse(reqs(i)._1, analyzer.stopWords))
+      val prelim = parsedMiss.map(p => p.leaves.map(spec =>
+        QueryPlanner.chooseCodes(spec.word, spec.exact, analyzer, this)._1))
+      val fieldCodes = parsedMiss.flatMap(_.leaves.flatMap(_.field))
+        .distinct.map(f => Consts.FieldNameChar.toString + f)
+      val union = (prelim.flatten.flatten ++ fieldCodes).distinct
+      val present = existing(union)
+      val unionDf = lastLookup
+      val servedDict = new TermDict {
+        override def existing(codes: Seq[String]): Set[String] = codes.filter(present).toSet
+        override def likeWords(regex: String, limit: Int): Seq[String] =
+          SparkSearcher.this.likeWords(regex, limit)
+      }
+      missIdx.zip(parsedMiss).foreach { case (i, p) =>
+        val pl = QueryPlanner.plan(p, analyzer, servedDict, reqs(i)._2.dist)
+        // dfs exactly as the pre-memo code exposed them: lastLookup after
+        // existing(union), absent codes read as df 0 in enrich
+        val dfm: Map[String, Long] =
+          pl.allCodes.iterator.map(c => c -> unionDf.getOrElse(c, 0L)).toMap
+        plansAll(i) = pl
+        dfAll ++= dfm
+        if (planMemo.size < 100000) planMemo.put(memoKeys(i), (pl, dfm))
+      }
+    }
+    val plans: Seq[QueryPlan] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(plansAll)
+    val presentDf: collection.Map[String, Long] = dfAll
     sbMark("resolve")
-    val plans: Seq[QueryPlan] = parsedAll.zip(reqs).map { case (p, (_, o)) =>
-      QueryPlanner.plan(p, analyzer, servedDict, o.dist)
-    }
     sbMark("plan")
     val allCodes = plans.flatMap(_.allCodes).distinct
     if (allCodes.isEmpty)
@@ -1256,16 +1306,39 @@ final class SparkSearcher(
     // header/body page split is pure string work over full doc bodies —
     // spread it across driver cores instead of one post-collect loop
     val allKeptIds = selected.iterator.flatMap(_.docs.iterator.map(_.docId)).toSeq.distinct
-    val textMap: Map[Long, ResultAssembler.Texts] =
+    val textMap: collection.Map[Long, ResultAssembler.Texts] =
       if (allKeptIds.isEmpty) Map.empty
       else {
-        val rows = docText.filter($"docId".isin(allKeptIds: _*)).collect()
-        val pairs = new Array[(Long, ResultAssembler.Texts)](rows.length)
-        java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
-          val d = rows(i)
-          pairs(i) = d.docId -> ResultAssembler.Texts(d.header, bodyPagesOf(d.body))
+        val out = mutable.HashMap.empty[Long, ResultAssembler.Texts]
+        val missing =
+          if (textMemoBudget <= 0) allKeptIds
+          else textMemo.synchronized {
+            allKeptIds.filter { id =>
+              val t = textMemo.get(id)
+              if (t != null) { out(id) = t; false } else true
+            }
+          }
+        if (missing.nonEmpty) {
+          val rows = docText.filter($"docId".isin(missing: _*)).collect()
+          val pairs = new Array[(Long, ResultAssembler.Texts)](rows.length)
+          java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
+            val d = rows(i)
+            pairs(i) = d.docId -> ResultAssembler.Texts(d.header, bodyPagesOf(d.body))
+          }
+          out ++= pairs
+          if (textMemoBudget > 0) textMemo.synchronized {
+            pairs.foreach { case (id, t) =>
+              if (textMemo.put(id, t) == null) textMemoBytes += textsBytes(t)
+            }
+            val it = textMemo.entrySet().iterator()
+            while (textMemoBytes > textMemoBudget && it.hasNext) {
+              val e = it.next() // eldest-access first (access-order map)
+              textMemoBytes -= textsBytes(e.getValue)
+              it.remove()
+            }
+          }
         }
-        pairs.toMap
+        out
       }
     sbMark("textFetch")
 
