@@ -288,6 +288,13 @@ object IndexBuilder {
       val bits = cfg.bucketBits
       val psz = cfg.pageSize
       val ffp = cfg.formFeedPages
+      // Per-INPUT-partition provenance rides the tokenize pass as an O(1)
+      // wrapper over the run iterator (docId range + posting/doc counts per
+      // input partition — the input side of the per-partition lineage).
+      // `add` OVERWRITES by partition id, so a speculated/retried task
+      // cannot double-count.
+      val provAcc = new ProvenanceAcc
+      spark.sparkContext.register(provAcc, "graft-input-provenance")
       // Per-partition posting RUNS (the north star's "per-partition posting
       // lists via mapPartitions"): tokenize once and accumulate compact
       // per-(term, bucket) runs map-side instead of one row per (term,
@@ -295,7 +302,31 @@ object IndexBuilder {
       // — at this corpus ~4-6× fewer rows and ~2× fewer bytes — and the
       // reduce-side sort orders runs, not postings.
       val termRuns: Dataset[TermRunRow] = docText.mapPartitions { it =>
-        combineRuns(it, bc.value, psz, ffp, bits)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val base = combineRuns(it, bc.value, psz, ffp, bits)
+        new Iterator[TermRunRow] {
+          private var minD = Long.MaxValue
+          private var maxD = Long.MinValue
+          private var nPost = 0L
+          private var nDocs = 0L
+          private var reported = false
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h && !reported) {
+              reported = true
+              if (minD != Long.MaxValue)
+                provAcc.add((pid, Array(minD, maxD, nPost, nDocs)))
+            }
+            h
+          }
+          def next(): TermRunRow = {
+            val r = base.next()
+            if (r.firstDocId < minD) minD = r.firstDocId
+            if (r.lastDocId > maxD) maxD = r.lastDocId
+            if (r.term == MetaTerm) nDocs += r.nDocs else nPost += r.nPostings
+            r
+          }
+        }
       }
 
       val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -367,6 +398,9 @@ object IndexBuilder {
             val name = uri.substring(uri.lastIndexOf('/') + 1)
             s"$postingsDirName/$name" ->
               IndexStore.FileMetrics(v(0), v(1), v(2), bytesOf.getOrElse(name, -1L))
+          },
+          provAcc.value.map { case (pid, a) =>
+            pid -> IndexStore.PartitionProvenance(a(0), a(1), a(2), a(3))
           })
         scala.concurrent.Await.result(verifyF, scala.concurrent.duration.Duration.Inf)
         IndexStore.commitStage(indexDir, IndexStore.StageRecord(
@@ -705,6 +739,31 @@ object IndexBuilder {
   /** One accumulating posting run (see TermRunRow). docDeltas encode
     * against base 0, so a run's first delta is its absolute firstDocId and
     * independently encoded runs splice by rewriting just that first delta. */
+  /** Input-partition provenance accumulator: pid → [minDocId, maxDocId,
+    * postings, docs]. `add` overwrites by pid, so stage retries and
+    * speculative duplicates are idempotent (each successful task reports
+    * the same deterministic totals for its partition). O(#partitions)
+    * driver memory at any corpus size. */
+  private[spark] final class ProvenanceAcc
+    extends org.apache.spark.util.AccumulatorV2[(Int, Array[Long]), Map[Int, Array[Long]]] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): ProvenanceAcc = {
+      val c = new ProvenanceAcc
+      c.m.putAll(m)
+      c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Int, Array[Long])): Unit = m.put(v._1, v._2)
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[(Int, Array[Long]), Map[Int, Array[Long]]]): Unit =
+      other.value.foreach { case (k, v) => m.put(k, v) }
+    override def value: Map[Int, Array[Long]] = {
+      import scala.jdk.CollectionConverters._
+      m.asScala.toMap
+    }
+  }
+
   private final class RunBuilder(val term: String, val bucket: Int, val firstDocId: Long) {
     var lastDocId = 0L
     var nDocs = 0

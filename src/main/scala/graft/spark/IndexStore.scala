@@ -32,16 +32,37 @@ object IndexStore {
     * rule's "per-partition lineage + posting-count/bytes metrics". */
   final case class FileMetrics(blocks: Long, postings: Long, docs: Long, bytes: Long)
 
+  /** One INPUT partition's contribution to a build: its docId range plus
+    * posting/doc counts — the input side of the north rule's per-partition
+    * lineage. Input partitions and posting shards are both docId ranges
+    * (docIds assign on a range exchange; bucket = docId >> bucketBits), so
+    * "which doctext partitions fed which posting shard" is an exact range
+    * intersection between this record and a file's block ranges — and the
+    * lineage file stays O(partitions + files) at any corpus size. */
+  final case class PartitionProvenance(
+      firstDocId: Long, lastDocId: Long, postings: Long, docs: Long)
+
   /** Write the per-file lineage for a snapshot version (atomic rename,
     * like the manifest). One JSON entry per postings file; expired by
-    * `vacuum` together with the version's manifest. */
+    * `vacuum` together with the version's manifest. When the build's
+    * map-side provenance is available (full builds; not resumes /
+    * streaming appends), a reserved `_inputPartitions` section records
+    * each INPUT partition's docId range and counts. */
   def writeLineage(indexDir: String, version: Int,
-                   metrics: Map[String, FileMetrics]): Unit = {
+                   metrics: Map[String, FileMetrics],
+                   inputs: Map[Int, PartitionProvenance] = Map.empty): Unit = {
     val dir = Paths.get(indexDir)
     Files.createDirectories(dir)
-    val body = metrics.toSeq.sortBy(_._1).map { case (f, m) =>
+    val fileBody = metrics.toSeq.sortBy(_._1).map { case (f, m) =>
       s"  ${q(f)}: {\"blocks\": ${m.blocks}, \"postings\": ${m.postings}, \"docs\": ${m.docs}, \"bytes\": ${m.bytes}}"
-    }.mkString("{\n", ",\n", "\n}\n")
+    }
+    val inputBody =
+      if (inputs.isEmpty) Nil
+      else Seq("  \"_inputPartitions\": {\n" +
+        inputs.toSeq.sortBy(_._1).map { case (pid, p) =>
+          s"""    "$pid": {"firstDocId": ${p.firstDocId}, "lastDocId": ${p.lastDocId}, "inPostings": ${p.postings}, "inDocs": ${p.docs}}"""
+        }.mkString(",\n") + "\n  }")
+    val body = (fileBody ++ inputBody).mkString("{\n", ",\n", "\n}\n")
     val tmp = dir.resolve(s".lineage-v$version.json.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(s"lineage-v$version.json"),
@@ -59,6 +80,22 @@ object IndexStore {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, FileMetrics]
     while (m.find())
       out(m.group(1)) = FileMetrics(
+        m.group(2).toLong, m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
+    out.toMap
+  }
+
+  /** Read a version's input-partition provenance (empty if the lineage
+    * predates it or the build was resumed/appended). */
+  def readLineageInputs(indexDir: String, version: Int): Map[Int, PartitionProvenance] = {
+    val p = Paths.get(indexDir, s"lineage-v$version.json")
+    if (!Files.exists(p)) return Map.empty
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val entry = java.util.regex.Pattern.compile(
+      "\"(\\d+)\"\\s*:\\s*\\{\"firstDocId\": (-?\\d+), \"lastDocId\": (-?\\d+), \"inPostings\": (\\d+), \"inDocs\": (\\d+)\\}")
+    val m = entry.matcher(txt)
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, PartitionProvenance]
+    while (m.find())
+      out(m.group(1).toInt) = PartitionProvenance(
         m.group(2).toLong, m.group(3).toLong, m.group(4).toLong, m.group(5).toLong)
     out.toMap
   }

@@ -18,13 +18,25 @@ object BuildPairProbe {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bprobe-$cpus")
-      .config("spark.sql.shuffle.partitions", math.max(cpus, 8).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_PROBE_PARTS",
+          math.max(cpus, 8).toString)) // same parts on BOTH legs via env = identical per-task work
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",
         sys.env.getOrElse("GRAFT_SPARK_LOCAL_DIR", sys.props("java.io.tmpdir")))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_TIMING"))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val secs = (for (a <- i.completionTime; b <- i.submissionTime) yield (a - b) / 1e3).getOrElse(-1.0)
+          val m = i.taskMetrics
+          System.err.println(
+            f"[bprobe-stg] ${i.stageId}%3d wall=$secs%7.2fs tasks=${i.numTasks}%3d cpu=${m.executorCpuTime / 1e9}%7.2fs run=${m.executorRunTime / 1e3}%7.2fs gc=${m.jvmGCTime / 1e3}%5.2fs sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%6.0fMB sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%6.0fMB in=${m.inputMetrics.bytesRead / 1e6}%6.0fMB out=${m.outputMetrics.bytesWritten / 1e6}%6.0fMB ${i.name.take(46)}")
+        }
+      })
     s
   }
 

@@ -39,6 +39,21 @@ class SnapshotSpec extends AnyFunSuite {
       assert(lin.values.map(_.docs).sum == nDocs)
       assert(lin.values.forall(_.bytes > 0), "lineage bytes must be real sizes")
       lin.keys.foreach(f => assert(new java.io.File(s"$dir/$f").exists(), s"$f listed but absent"))
+
+      // input-partition provenance: same totals from the INPUT side, docId
+      // ranges disjoint (doctext partitions are docId ranges by the range
+      // exchange), so input↔shard attribution is an exact intersection
+      val inp = IndexStore.readLineageInputs(dir, 1)
+      assert(inp.nonEmpty, "_inputPartitions section missing")
+      assert(inp.values.map(_.postings).sum == totalPostings,
+        s"input provenance postings ${inp.values.map(_.postings).sum} != $totalPostings")
+      assert(inp.values.map(_.docs).sum == nDocs)
+      val ranges = inp.values.toSeq.sortBy(_.firstDocId)
+      ranges.sliding(2).foreach {
+        case Seq(a, b) => assert(a.lastDocId < b.firstDocId,
+          s"input partition docId ranges overlap: $a vs $b")
+        case _ => ()
+      }
     }
 
     // v2: full REBUILD from a different corpus (different config → new
