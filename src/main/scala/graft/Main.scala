@@ -230,6 +230,15 @@ object Main {
       println(s"docs: ${snap.nDocs}  avgdl: ${snap.avgdl}  postings: ${snap.totalPostings}")
       println(s"words: $words")
       println(s"files: " + snap.files.map { case (t, fs) => s"$t=${fs.size}" }.mkString(" "))
+      locally {
+        val lin = IndexStore.readLineage(indexDir, snap.version)
+        val inp = IndexStore.readLineageInputs(indexDir, snap.version)
+        if (lin.nonEmpty)
+          println(s"lineage: ${lin.size} shard entries" +
+            (if (inp.nonEmpty) s", ${inp.size} input partitions " +
+              s"(docIds ${inp.values.map(_.firstDocId).min}..${inp.values.map(_.lastDocId).max})"
+             else ""))
+      }
       spark.stop()
 
     case "vacuum" :: indexDir :: rest =>
