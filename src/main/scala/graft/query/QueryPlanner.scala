@@ -27,13 +27,35 @@ final case class LeafPlan(
     innerWordR: Int,
     codes: Array[String]) {
 
+  /** The final R value [[seq]] assigns this leaf — a function of plan
+    * constants only, and the SINGLE derivation both `seq` and
+    * [[QueryPlan.staticR]] use (the AND-chain early exit's correctness
+    * requires the two to agree byte-for-byte; deriving both from one
+    * method makes divergence impossible).
+    *
+    * R handling ports SearchSequence.d (Search.cs:302-312) and SearchField
+    * (Search.cs:126-155): SearchWord sets R=-1 iff exact (Search.cs:258),
+    * d() converts; in the field-present case `and(fseq(r=-1),
+    * word(r=innerWordR))` yields a negative R iff innerWordR < 0 (see
+    * [[PosSeq.combineR]] — data-independent), then d() rewrites it; a
+    * field term absent from the dictionary takes SearchField's catch path
+    * (empty sequence, R=0) and d() assigns dist+len. */
+  def leafR(dist: Int): Int = {
+    val len = word.length
+    field match {
+      case Some(_) if fieldPresent =>
+        if (innerWordR < 0) -len - 4 else dist + len
+      case Some(_) => dist + len
+      case None => if (exact) -len - 4 else dist + len
+    }
+  }
+
   /** Evaluate this leaf for one document. `coordsOf` returns the ascending
     * within-doc coordinates of a code in that document (empty if none).
-    * R handling ports SearchSequence.d (Search.cs:302-312) and SearchField
-    * (Search.cs:126-155).
+    * The assigned R is [[leafR]] in every branch — see its scaladoc for
+    * the reference citations.
     */
   def seq(coordsOf: String => Array[Long], dist: Int): PosSeq = {
-    val len = word.length
     var merged: PosSeq = null
     var i = 0
     while (i < codes.length) {
@@ -42,18 +64,13 @@ final case class LeafPlan(
       i += 1
     }
     val wordSeq = if (merged == null) PosSeq.empty else merged
+    val r = leafR(dist)
     field match {
       case Some(f) if fieldPresent =>
         val fseq = PosSeq(coordsOf(Consts.FieldNameChar.toString + f), -1)
-        val res = PosSeq.and(fseq, wordSeq.withR(innerWordR))
-        res.withR(if (res.r < 0) -len - 4 else dist + len)
-      case Some(_) =>
-        // field term absent from the dictionary → SearchField's catch path
-        // returns an empty sequence with R=0; d() then assigns dist+len.
-        PosSeq.empty.withR(dist + len)
-      case None =>
-        // SearchWord sets R=-1 iff exact (Search.cs:258); d() converts.
-        wordSeq.withR(if (exact) -len - 4 else dist + len)
+        PosSeq.and(fseq, wordSeq.withR(innerWordR)).withR(r)
+      case Some(_) => PosSeq.empty.withR(r)
+      case None => wordSeq.withR(r)
     }
   }
 }
@@ -90,21 +107,13 @@ final case class QueryPlan(
   }
 
   /** The R attribute `evalDoc(ast)` would return, computed WITHOUT
-    * evaluating — exact by construction: leaf R depends only on the plan
-    * (exact flag, field presence, word length, dist), and the and/or
-    * combiners depend only on their operands' Rs. */
+    * evaluating — exact by construction: leaf R is [[LeafPlan.leafR]]
+    * (the same method `seq` assigns from — one derivation, no mirrored
+    * rules to drift), and the and/or combiners depend only on their
+    * operands' Rs ([[PosSeq.combineR]], the same formula `PosSeq.and`/
+    * `or` apply). */
   def staticR(ast: Ast): Int = ast match {
-    case LeafRef(id) =>
-      val lp = leaves(id)
-      val len = lp.word.length
-      lp.field match {
-        // mirrors LeafPlan.seq: and(fseq(r=-1), word(r=innerWordR)) is
-        // negative iff innerWordR < 0, then rewritten by the same rule
-        case Some(_) if lp.fieldPresent =>
-          if (lp.innerWordR < 0) -len - 4 else dist + len
-        case Some(_) => dist + len
-        case None => if (lp.exact) -len - 4 else dist + len
-      }
+    case LeafRef(id) => leaves(id).leafR(dist)
     case AndNode(l, r) => PosSeq.combineR(staticR(l), staticR(r))
     case OrNode(l, r) => PosSeq.combineR(staticR(l), staticR(r))
   }

@@ -105,7 +105,11 @@ private[spark] final class DecodedTerm(
   * Queried terms lazily upgrade to [[DecodedTerm]] form (decode once per
   * snapshot instead of once per batch — position varint decode was the
   * second-largest hot-batch phase); the growth flows into the cache's
-  * budget via notePublishedGrowth and evicts with the shard. */
+  * budget via notePublishedGrowth, which evicts when the upgrades alone
+  * push the cache over budget (a fully-resident snapshot sees no more
+  * put() calls, so growth itself must be able to trigger eviction — a
+  * diverse query stream decoding 4-10x-encoded-size position arrays
+  * would otherwise overrun the 30%-heap cap with no backstop). */
 private[spark] final class BlockShard(
     byTerm: java.util.HashMap[String, Array[PostingBlockRow]],
     val metaMap: scala.collection.mutable.LongMap[DocMetaRow],

@@ -65,41 +65,61 @@ private[spark] abstract class ShardCache[S <: CachedShard] {
   }
 
   /** Publish a freshly-built shard, evicting LRU entries to fit budget.
-    * Returns the canonical instance (first publisher wins on a race). */
+    * Returns the canonical instance (first publisher wins on a race).
+    * The publish step (map insert + flag + total credit) runs under the
+    * cache monitor so it cannot interleave with [[clear]] — an unlocked
+    * put racing a clear could set `published`/credit `total` after the
+    * zeroing sweep, leaving a phantom positive residue that makes every
+    * later put evict the whole cache. */
   def put(key: String, sh: S): S = {
     val sz = sh.cacheBytes
     if (sz > maxBytes) return sh // oversized: task-local use only
-    val prev = shards.putIfAbsent(key, sh)
-    if (prev != null) return prev
-    sh.published = true
-    val newTotal = total.addAndGet(sz)
-    if (newTotal > maxBytes) evictTo(maxBytes, keep = key)
-    sh
+    var canonical: S = sh
+    var newTotal = -1L
+    synchronized {
+      val prev = shards.putIfAbsent(key, sh)
+      if (prev != null) canonical = prev
+      else { sh.published = true; newTotal = total.addAndGet(sz) }
+    }
+    if (newTotal > maxBytes) evictTo(maxBytes, keepKey = key)
+    canonical
   }
 
   /** Post-publish growth accounting (e.g. promotion of raw entries to
-    * score-ready form): flows into the global total only while the entry
-    * is still published. The publish/evict windows can leak a delta —
-    * the budget is a soft bound; per-shard bytes stay exact for eviction. */
-  private[spark] def notePublishedGrowth(sh: CachedShard, delta: Long): Unit =
-    if (sh.published) total.addAndGet(delta)
+    * score-ready form, or a [[BlockShard]] decoded-term upgrade): flows
+    * into the global total only while the entry is still published, and
+    * TRIGGERS EVICTION when growth alone pushes the cache over budget —
+    * on a fully-resident snapshot no put() ever runs again, so without
+    * this hook decode upgrades could grow the cache past its heap cap
+    * unboundedly. The growing shard is evicted last (it is the hottest by
+    * construction), but IS evicted if it alone exceeds the budget — the
+    * caller keeps its task-local reference and the next batch refills.
+    * Runs under the cache monitor, so growth can no longer interleave
+    * with eviction's snapshot-subtract or with clear(): the budget is a
+    * strict bound (modulo oversized task-local entries, never published). */
+  private[spark] def notePublishedGrowth(sh: CachedShard, delta: Long): Unit = synchronized {
+    if (sh.published) {
+      val t = total.addAndGet(delta)
+      if (t > maxBytes) {
+        evictTo(maxBytes, keepShard = sh)
+        if (total.get() > maxBytes) evictTo(maxBytes)
+      }
+    }
+  }
 
-  private def evictTo(budget: Long, keep: String): Unit = synchronized {
+  private def evictTo(budget: Long, keepKey: String = null,
+                      keepShard: CachedShard = null): Unit = synchronized {
     import scala.jdk.CollectionConverters._
     val byAge = shards.entrySet().asScala.toSeq.sortBy(_.getValue.lastUsed)
     val it = byAge.iterator
     while (total.get() > budget && it.hasNext) {
       val e = it.next()
-      if (e.getKey != keep && shards.remove(e.getKey, e.getValue)) {
+      if (e.getKey != keepKey && (e.getValue ne keepShard) &&
+          shards.remove(e.getKey, e.getValue)) {
         val sh = e.getValue
-        // Snapshot bytes BEFORE un-publishing: a promote landing after the
-        // flag clears grows cacheBytes without crediting `total` (the
-        // notePublishedGrowth guard sees published=false), so subtracting
-        // the post-growth value would permanently undercount the total —
-        // an always-downward drift that lets the cache exceed its budget
-        // over churn. With the snapshot, the worst interleaving (promote
-        // credits `total` between snapshot and flag-clear) leaves a stale
-        // POSITIVE residue — over-eviction, the conservative direction.
+        // Snapshot bytes BEFORE un-publishing (kept though growth now runs
+        // under the same monitor — the ordering is still the one that
+        // fails conservative if a new unlocked growth path ever appears).
         val snap = sh.cacheBytes
         sh.published = false
         sh.onEvict()

@@ -122,7 +122,12 @@ object SparkSearcher {
     o.writeByte(TagFull)
     o.writeLong(e.docId)
     o.writeBoolean(e.fieldHit)
-    o.writeUTF(e.name)
+    // NOT writeUTF: doc names are user data (URLs, paths — a data: URI can
+    // exceed writeUTF's 65535-byte modified-UTF-8 cap, which would fail the
+    // scan task deterministically). Codes/pageIds stay writeUTF — both are
+    // engine-generated and bounded (tokenizer caps terms at 32 chars).
+    val nameBytes = e.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    o.writeInt(nameBytes.length); o.write(nameBytes)
     o.writeLong(e.docLen)
     def longs(a: Array[Long]): Unit = {
       o.writeInt(a.length)
@@ -142,7 +147,9 @@ object SparkSearcher {
     in.readByte() // TagFull
     val docId = in.readLong()
     val fieldHit = in.readBoolean()
-    val name = in.readUTF()
+    val nameBytes = new Array[Byte](in.readInt())
+    in.readFully(nameBytes)
+    val name = new String(nameBytes, java.nio.charset.StandardCharsets.UTF_8)
     val docLen = in.readLong()
     def longs(): Array[Long] = {
       val n = in.readInt()
@@ -401,7 +408,11 @@ final class SparkSearcher(
     * (estimate: on-disk bytes × 1.6 for page decompression + row overhead,
     * against the heap-capped budget). At 10^12 docs they cannot —
     * positional queries keep the filtered parquet scan, which reads only
-    * the queried terms' pages. */
+    * the queried terms' pages. The estimate deliberately excludes the
+    * decoded-term upgrades (4-10× encoded size, but only for QUERIED
+    * terms — unknowable here): if a diverse stream's upgrades outgrow the
+    * budget, [[ShardCache.notePublishedGrowth]] evicts — degrading to
+    * refills, never past the heap cap. */
   @transient private lazy val blockCacheFits: Boolean = {
     // ONE executor's budget must hold the snapshot: Spark schedules any
     // partition on any executor, so per-executor cache demand converges to
@@ -471,19 +482,29 @@ final class SparkSearcher(
     2L * t.header.length +
       t.bodyPages.iterator.map(p => 2L * (p._1.length + p._2.length) + 80).sum + 96
 
-  override def existing(codes: Seq[String]): Set[String] =
-    if (codes.isEmpty) Set.empty
+  /** term → df for exactly the codes present in the dictionary — the
+    * race-free primitive behind [[existing]]. Callers that need BOTH the
+    * presence set and the dfs (searchBatch's plan-memo fill) must use this
+    * directly: reading `lastLookup` after `existing()` is only safe
+    * driver-sequentially, and REST serves batches concurrently — a racing
+    * batch's lookup landing in between would poison a memoized df map
+    * permanently. */
+  private def lookupDf(codes: Seq[String]): Map[String, Long] =
+    if (codes.isEmpty) Map.empty
     else dictCache match {
       case Some((m, _)) =>
-        val got = codes.iterator.flatMap(c => Option(m.get(c)).map(v => c -> v._1)).toMap
-        lastLookup = got
-        got.keySet
+        codes.iterator.flatMap(c => Option(m.get(c)).map(v => c -> v._1)).toMap
       case None =>
-        val got = termStats.filter($"term".isin(codes: _*))
+        termStats.filter($"term".isin(codes: _*))
           .select($"term", $"df").as[(String, Long)].collect().toMap
-        lastLookup = got
-        got.keySet
     }
+
+  override def existing(codes: Seq[String]): Set[String] = {
+    if (codes.isEmpty) return Set.empty
+    val got = lookupDf(codes)
+    lastLookup = got
+    got.keySet
+  }
 
   override def likeWords(regex: String, limit: Int): Seq[String] = dictCache match {
     case Some((_, keys)) =>
@@ -841,8 +862,12 @@ final class SparkSearcher(
       val fieldCodes = parsedMiss.flatMap(_.leaves.flatMap(_.field))
         .distinct.map(f => Consts.FieldNameChar.toString + f)
       val union = (prelim.flatten.flatten ++ fieldCodes).distinct
-      val present = existing(union)
-      val unionDf = lastLookup
+      // one dictionary round-trip yielding dfs + presence together —
+      // NOT existing() + lastLookup, which a concurrent batch's own
+      // lookup can overwrite in between (the memo would then store
+      // df=0 for every code of this request, permanently)
+      val unionDf = lookupDf(union)
+      val present = unionDf.keySet
       val servedDict = new TermDict {
         override def existing(codes: Seq[String]): Set[String] = codes.filter(present).toSet
         override def likeWords(regex: String, limit: Int): Seq[String] =
@@ -850,8 +875,8 @@ final class SparkSearcher(
       }
       missIdx.zip(parsedMiss).foreach { case (i, p) =>
         val pl = QueryPlanner.plan(p, analyzer, servedDict, reqs(i)._2.dist)
-        // dfs exactly as the pre-memo code exposed them: lastLookup after
-        // existing(union), absent codes read as df 0 in enrich
+        // dfs exactly as the pre-memo code exposed them: the union
+        // lookup's df map, absent codes read as df 0 in enrich
         val dfm: Map[String, Long] =
           pl.allCodes.iterator.map(c => c -> unionDf.getOrElse(c, 0L)).toMap
         plansAll(i) = pl

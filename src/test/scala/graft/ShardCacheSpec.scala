@@ -64,6 +64,35 @@ class ShardCacheSpec extends AnyFunSuite {
     assert(c.get("big") == null)
   }
 
+  test("post-publish growth alone triggers eviction (fully-resident snapshot, no further puts)") {
+    val c = freshCache(100)
+    val a = new FakeShard(40)
+    val b = new FakeShard(40)
+    c.put("a", a)
+    Thread.sleep(2) // distinct lastUsed stamps
+    c.put("b", b)
+    assert(c.totalBytes == 80)
+    // decoded-term upgrade on b pushes the cache over budget with no put()
+    // in flight: the growth hook itself must evict (LRU = a), keeping the
+    // growing shard — it is the hottest by construction
+    grow(c, b, 50)
+    assert(c.get("a") == null, "growth past budget must evict the LRU shard")
+    assert(c.get("b") ne null)
+    assert(c.totalBytes == 90)
+  }
+
+  test("a shard whose growth alone exceeds the whole budget is evicted itself") {
+    val c = freshCache(100)
+    val a = new FakeShard(40)
+    c.put("a", a)
+    grow(c, a, 200) // 240 > 100: nothing else to evict — a itself must go
+    assert(c.get("a") == null, "a shard grown past the whole budget must not stay resident")
+    assert(c.totalBytes == 0)
+    // un-published: later growth by the still-holding task is ignored
+    grow(c, a, 50)
+    assert(c.totalBytes == 0)
+  }
+
   test("configuredBudget is the raw knob; maxBytes caps it by the local JVM heap") {
     val c = freshCache(0)
     c.maxBytesOverride = Some(Long.MaxValue / 2)
