@@ -179,10 +179,11 @@ class ContribCacheSpec extends AnyFunSuite {
         assert(gotB(i) == want, s"B under budget pressure diverges [$q]")
         assert(gotA2(i) == want, s"A re-decode after eviction diverges [$q]")
       }
-      // soft bound: eviction runs at publish time; promote growth after the
-      // final publish (≤ 4 B/posting of the batch's codes) lands between
-      // evictions, so allow that margin over the hard budget
-      assert(ContribCache.totalBytes <= est * 3 / 2, "eviction did not enforce the budget")
+      // STRICT bound since round 5: notePublishedGrowth itself evicts when
+      // promote growth pushes the total over budget (previously eviction
+      // ran only at publish time, so post-publish growth made this a soft
+      // bound with a 1.5x test margin)
+      assert(ContribCache.totalBytes <= est, "growth-triggered eviction did not enforce the budget")
     } finally {
       ContribCache.maxBytesOverride = None
       ContribCache.clear()
