@@ -88,15 +88,15 @@ object Compactor {
       .options(IndexBuilder.postingsWriteOptions).parquet(postingsDir)
     IndexBuilder.verifySingleRowGroup(spark, postingsDir)
 
-    // ---- integrity: the rewrite must carry exactly the snapshot's data ----
-    val m = spark.read.parquet(postingsDir)
-      .select($"term", $"nDocs", $"nPostings")
-      .agg(
-        coalesce(sum(when($"term" === IndexBuilder.MetaTerm, $"nDocs".cast("long"))), lit(0L)),
-        coalesce(sum($"nPostings"), lit(0L)))
-      .head()
-    val nDocs = m.getLong(0)
-    val totalPostings = m.getLong(1)
+    // ---- integrity: the rewrite must carry exactly the snapshot's data.
+    // One metrics scan serves BOTH the integrity totals and the per-file
+    // lineage written at commit (docs = Σ meta-term nDocs, postings =
+    // Σ nPostings — the same sums the dedicated aggregate computed, per
+    // the shared encodeBlocks conventions: meta/dl-strip rows carry
+    // nPostings = 0). ----
+    val metrics = IndexBuilder.postingsFileMetrics(spark, postingsDir, s"postings/$tag")
+    val nDocs = metrics.valuesIterator.map(_.docs).sum
+    val totalPostings = metrics.valuesIterator.map(_.postings).sum
     require(nDocs == snap.nDocs,
       s"compact: doc count changed ($nDocs vs snapshot ${snap.nDocs}) — refusing to commit")
     require(totalPostings == snap.totalPostings,
@@ -125,9 +125,9 @@ object Compactor {
       .repartition(shufflePartitions, $"term").sortWithinPartitions($"term")
       .write.mode("overwrite").parquet(s"$indexDir/$termStatsDir")
 
-    // ---- per-file lineage for the consolidated files ----
-    IndexStore.writeLineage(indexDir, version,
-      IndexBuilder.postingsFileMetrics(spark, postingsDir, s"postings/$tag"))
+    // ---- per-file lineage for the consolidated files (the integrity scan
+    // above already computed it) ----
+    IndexStore.writeLineage(indexDir, version, metrics)
 
     // ---- commit ----
     IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(

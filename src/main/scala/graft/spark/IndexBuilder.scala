@@ -471,12 +471,12 @@ object IndexBuilder {
     // code resolution always matches build-time tokenization (vocabs,
     // stopwords, stemming) — loaded by SparkSearcher.open
     locally {
-      val f = java.nio.file.Paths.get(indexDir, "analyzer.bin")
       val bos = new java.io.ByteArrayOutputStream()
       val oos = new java.io.ObjectOutputStream(bos)
       oos.writeObject(an)
       oos.close()
-      java.nio.file.Files.write(f, bos.toByteArray)
+      // atomic: a truncated analyzer.bin would fail every SparkSearcher.open
+      IndexStore.writeFileAtomic(indexDir, "analyzer.bin", bos.toByteArray)
     }
     writeBuildProps(indexDir, cfg)
 
@@ -1029,9 +1029,10 @@ object IndexBuilder {
     val p = new java.util.Properties()
     p.setProperty("pageSize", cfg.pageSize.toString)
     p.setProperty("formFeedPages", cfg.formFeedPages.toString)
-    val out = java.nio.file.Files.newOutputStream(
-      java.nio.file.Paths.get(indexDir, "buildcfg.properties"))
-    try p.store(out, "graft build pagination config") finally out.close()
+    val bos = new java.io.ByteArrayOutputStream()
+    p.store(bos, "graft build pagination config")
+    // atomic, like analyzer.bin: readers parse this on every open
+    IndexStore.writeFileAtomic(indexDir, "buildcfg.properties", bos.toByteArray)
   }
 
   /** (pageSize, formFeedPages) of an index; defaults for pre-props indexes. */

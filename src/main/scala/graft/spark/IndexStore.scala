@@ -149,6 +149,30 @@ object IndexStore {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Atomic small-file write (tmp + ATOMIC_MOVE) — the same pattern as
+    * manifests/markers, for commit-adjacent artifacts (analyzer.bin,
+    * buildcfg.properties): a crash mid-write must never leave a truncated
+    * file that wedges every subsequent open/replay. */
+  def writeFileAtomic(indexDir: String, name: String, bytes: Array[Byte]): Unit = {
+    val dir = Paths.get(indexDir)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, dir.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Does version v's manifest record a stage with this name? Stage records
+    * are not round-tripped by [[readSnapshot]]; this scans the raw manifest
+    * text. `appendBatch` uses it to recognize a crashed append attempt's
+    * own half-committed snapshot when no stream marker exists yet. */
+  def manifestHasStage(indexDir: String, version: Int, stage: String): Boolean = {
+    val mf = Paths.get(indexDir, s"manifest-v$version.json")
+    Files.exists(mf) &&
+      new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+        .contains("\"stage\": " + q(stage))
+  }
+
   def currentVersion(indexDir: String): Option[Int] = {
     val p = Paths.get(indexDir, "CURRENT")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
@@ -278,7 +302,14 @@ object IndexStore {
   def vacuum(indexDir: String, keep: Int = 2): (Int, Int) = {
     val versions = listVersions(indexDir)
     if (versions.isEmpty) return (0, 0)
-    val keepV = versions.takeRight(math.max(1, keep)).toSet
+    // never expire the version the stream marker stands on: a crash between
+    // an append's writeSnapshot and its commitStage leaves the marker one
+    // version BEHIND CURRENT, and the checkpoint replay must still be able
+    // to read that base snapshot (and its termstats files) — expiring it
+    // would make the next append silently truncate the index to one batch
+    val pinned = readStageDetail(indexDir, "stream", "version")
+      .map(_.toInt).filter(versions.contains)
+    val keepV = (versions.takeRight(math.max(1, keep)) ++ pinned).toSet
     val referenced: Set[String] = keepV.flatMap(v =>
       readSnapshot(indexDir, Some(v)).toSeq.flatMap(_.files.values.flatten))
     val root = Paths.get(indexDir)

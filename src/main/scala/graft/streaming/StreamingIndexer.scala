@@ -60,8 +60,35 @@ object StreamingIndexer {
     // already contain this batch — basing the replay on it would
     // double-list the batch dir and double-merge its term counts.
     val baseSnap = IndexStore.readStageDetail(indexDir, "stream", "version") match {
-      case Some(v) => IndexStore.readSnapshot(indexDir, Some(v.toInt))
-      case None => IndexStore.readSnapshot(indexDir)
+      case Some(v) =>
+        // a missing pinned manifest must FAIL, not silently base on nothing:
+        // the marker still carries cumulative nextDocId/nDocs/sums, so a
+        // None base here would commit a manifest listing ONLY this batch's
+        // files while reporting cumulative totals — an index silently
+        // truncated to one batch. (vacuum retains the pinned version, so
+        // this only fires on manual deletion/corruption.)
+        Some(IndexStore.readSnapshot(indexDir, Some(v.toInt)).getOrElse(
+          throw new IllegalStateException(
+            s"stream marker pins base snapshot v$v but its manifest is gone — " +
+              "refusing to append on a truncated base (restore the manifest or rebuild)")))
+      case None =>
+        // No marker yet (first append after a build, or after build() cleared
+        // it). CURRENT may be a crashed FIRST-append attempt's own snapshot —
+        // one that writeSnapshot committed but whose commitStage never ran.
+        // Basing the replay on it would double-merge the batch's termstats,
+        // double-count its docs, and shift its docIds. The base is the
+        // newest snapshot that is NOT itself a stream append.
+        val vs = IndexStore.listVersions(indexDir)
+        vs.reverse.find(v => !IndexStore.manifestHasStage(indexDir, v, "stream")) match {
+          case Some(v) => IndexStore.readSnapshot(indexDir, Some(v))
+          case None if vs.nonEmpty && vs.min > 1 =>
+            // every surviving manifest is a markerless append attempt and
+            // the pre-append versions were expired: the base state is gone
+            throw new IllegalStateException(
+              "no non-stream base snapshot survives (vacuumed during a crashed " +
+                "first append?) — refusing to append on a truncated base")
+          case None => None // fresh dir, or a crashed first batch of a from-empty stream
+        }
     }
     val streamMarker = IndexStore.readStageDetail(indexDir, "stream", "nextDocId")
     val nextDocId = streamMarker.map(_.toLong).getOrElse {
@@ -94,8 +121,17 @@ object StreamingIndexer {
 
     val src = cfg.sourceName
     val inc = cfg.includeHeaders
-    val psz = cfg.pageSize
-    val ffp = cfg.formFeedPages
+    // pagination props persisted with the index win over the caller's cfg —
+    // the same rule as the analyzer: the query side re-derives page text
+    // from the PERSISTED (pageSize, formFeedPages), so appended docs must
+    // paginate exactly like built docs or snippets for page ids >= 2 read
+    // from the wrong offsets (e.g. `Main append` passes a default config
+    // to an index built with --page-size 3000).
+    val (psz, ffp) =
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(indexDir, "buildcfg.properties")))
+        IndexBuilder.readBuildProps(indexDir)
+      else (cfg.pageSize, cfg.formFeedPages)
     val bits = cfg.bucketBits
 
     val batchTag = s"batch-$batchId"
@@ -147,6 +183,12 @@ object StreamingIndexer {
       .options(IndexBuilder.postingsWriteOptions).parquet(postingsDir)
     IndexBuilder.verifySingleRowGroup(spark, postingsDir)
 
+    // ONE metrics scan of the batch postings serves both the lineage entry
+    // and the posting-count running sum (a dedicated sum(nPostings) job
+    // over the same files would read them a second time)
+    val batchMetrics =
+      IndexBuilder.postingsFileMetrics(spark, postingsDir, s"postings/$batchTag")
+
     val docMeta = spark.read.parquet(postingsDir).as[PostingBlockRow]
       .filter($"term" === IndexBuilder.MetaTerm)
       .flatMap(IndexBuilder.decodeMetaBlock)
@@ -184,8 +226,7 @@ object StreamingIndexer {
       .repartition(shufflePartitions, $"term").sortWithinPartitions($"term")
       .write.mode("overwrite").parquet(s"$indexDir/$termStatsDir")
 
-    val batchPostings = spark.read.parquet(postingsDir)
-      .agg(coalesce(sum($"nPostings"), lit(0L))).head().getLong(0)
+    val batchPostings = batchMetrics.valuesIterator.map(_.postings).sum
     val totalPostings = prevPostings + batchPostings
 
     if (!java.nio.file.Files.exists(anFile)) {
@@ -193,7 +234,9 @@ object StreamingIndexer {
       val oos = new java.io.ObjectOutputStream(bos)
       oos.writeObject(an)
       oos.close()
-      java.nio.file.Files.write(anFile, bos.toByteArray)
+      // atomic, like every other commit artifact: a truncated analyzer.bin
+      // from a mid-write crash would crash-loop every replay at readObject
+      IndexStore.writeFileAtomic(indexDir, "analyzer.bin", bos.toByteArray)
     }
     // pagination props must persist with the index: the query side's
     // snippet assembly re-derives pages from (pageSize, formFeedPages),
@@ -221,8 +264,7 @@ object StreamingIndexer {
       val prevLineage = baseSnap.map(s => IndexStore.readLineage(indexDir, s.version))
         .getOrElse(Map.empty)
       IndexStore.writeLineage(indexDir, version,
-        prevLineage.filter { case (f, _) => postingsFiles.contains(f) } ++
-          IndexBuilder.postingsFileMetrics(spark, postingsDir, s"postings/$batchTag"))
+        prevLineage.filter { case (f, _) => postingsFiles.contains(f) } ++ batchMetrics)
     }
 
     // snapshot first, stream marker last: a crash between them replays the
@@ -255,9 +297,9 @@ object StreamingIndexer {
     * batches (Iceberg-maintenance-style), so continuous ingest keeps a
     * BOUNDED postings file count instead of one file set per batch
     * forever. Compaction is idempotent w.r.t. query results (Compactor's
-    * integrity gate) and re-points the streaming marker, so a crash
-    * between append and compact just defers compaction to the next
-    * trigger. */
+    * integrity gate) and re-points the streaming marker; a crash between
+    * append and compact is recovered on the checkpoint replay of that
+    * boundary batch (the append dedupes, the compaction re-runs). */
   def ingest(pagesStream: DataFrame, indexDir: String,
              cfg: IndexBuilder.BuildConfig, checkpointDir: String,
              trigger: Trigger = Trigger.AvailableNow(),
@@ -268,7 +310,15 @@ object StreamingIndexer {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val n = appendBatch(batch.sparkSession, batch.toDF(), indexDir, cfg, batchId)
         System.err.println(s"[graft-stream] batch $batchId appended $n docs")
-        if (compactEvery > 0 && n > 0 && (batchId + 1) % compactEvery == 0) {
+        // compaction triggers on the BOUNDARY, not on n > 0: a replayed
+        // boundary batch returns 0 (already committed) and that is exactly
+        // the crash-between-append-and-compact case the comment below
+        // promises to recover — gating on n > 0 deferred it a full cycle.
+        // The snapshot guard covers the empty-first-batch edge (nothing to
+        // compact yet).
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+          IndexStore.readSnapshot(indexDir)
+            .exists(_.files.getOrElse("postings", Nil).nonEmpty)) {
           val st = graft.spark.Compactor.compact(batch.sparkSession, indexDir)
           System.err.println(s"[graft-stream] compacted v${st.version}: " +
             s"postings files ${st.postingsFilesBefore}→${st.postingsFilesAfter}")
