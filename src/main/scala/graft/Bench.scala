@@ -153,8 +153,15 @@ object Bench {
 
       val searcher = new graft.spark.SparkSearcher(spark, idxDir, graft.text.Analyzer())
       val qs = queryBatch(nQueries)
-      // plan/codegen warm (8 queries — populates nothing of substance)
+      // plan/codegen warm (8 queries), then RESET the serving caches: with
+      // the cache on, ANY batch's fill keeps every term of every shard and
+      // marks the snapshot tag warm, so without the reset the "cold" batch
+      // below would find the cache fully populated and measure promotions
+      // only — not the bootstrap it claims to (caught in the round-5 bench
+      // review; pre-fix windows' bm25_qps_cold overstate bootstrap speed).
       searcher.bm25TopKBatch(qs.take(8), 10)
+      graft.spark.ContribCache.clear()
+      graft.spark.SparkSearcher.forgetServingWarmth()
       // COLD batch: pays the one-per-snapshot full-shard decode into the
       // executor-resident ContribCache (plus this batch's promotions) —
       // the serving bootstrap cost, reported separately.
@@ -171,7 +178,7 @@ object Bench {
       // so best-of-N is a pure variance reduction against scheduler
       // hiccups — at ~0.15-1.3 s per batch two extra runs cost seconds and
       // measurably tighten the per-rep efficiency samples on this host
-      val hotRuns = sys.env.getOrElse("GRAFT_BENCH_HOT_RUNS", "5").toInt
+      val hotRuns = math.max(1, sys.env.getOrElse("GRAFT_BENCH_HOT_RUNS", "5").toInt)
       var batchSec = Double.MaxValue
       var res: Seq[Seq[(Long, Double)]] = null
       var hr = 0
@@ -461,9 +468,13 @@ object Bench {
     val opTimes = Seq("q1_agg", "q3_join", "dedup_minhash_sig", "ann_cosine_topk",
       "ann_ivf_topk").map { name =>
       val t = System.nanoTime()
-      try SparkEntry.queries(name)(s2, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+      // a failed op must read as failed in the record, not as a fast run
+      // (time-to-crash looks like a normal timing otherwise)
+      val ok = try { SparkEntry.queries(name)(s2, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[graft-bench] op $name FAILED: $e"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t) / 1e9 else -1.0)
     }
     s2.stop()
 

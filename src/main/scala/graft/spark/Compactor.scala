@@ -42,6 +42,11 @@ object Compactor {
 
   def compact(spark: SparkSession, indexDir: String): CompactStats = {
     import spark.implicits._
+    // a compact right after a crashed append would otherwise re-point a
+    // LAGGING marker (pre-batch state) onto the compacted base — whose
+    // rewrite consolidates CURRENT, which already contains the batch: the
+    // replay would then re-append it (double docs). Fast-forward first.
+    IndexStore.repairStreamMarker(indexDir)
     val snap = IndexStore.readSnapshot(indexDir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $indexDir"))
     val version = snap.version + 1
@@ -130,9 +135,24 @@ object Compactor {
     IndexStore.writeLineage(indexDir, version, metrics)
 
     // ---- commit ----
+    // streaming continuation state rides INSIDE the manifest's stage
+    // records too: the manifest is the authoritative commit point, so a
+    // crash between writeSnapshot and the marker re-point below is
+    // repaired by appendBatch's marker reconstruction (same contract as
+    // the append path)
+    val streamDetail: Option[Map[String, String]] =
+      if (!java.nio.file.Files.exists(IndexStore.stageMarkerPath(indexDir, "stream"))) None
+      else {
+        def keep(k: String) = IndexStore.readStageDetail(indexDir, "stream", k)
+        Some(Seq("lastBatchId", "nextDocId", "nDocs", "sumDl", "totalPostings")
+          .flatMap(k => keep(k).map(k -> _)).toMap)
+      }
     IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
       version, snap.nDocs, snap.avgdl, snap.totalPostings,
-      Seq(IndexStore.StageRecord("compact", s"of-v${snap.version}", nDocs, 0L, Map.empty)),
+      IndexStore.StageRecord("compact", s"of-v${snap.version}", nDocs, 0L, Map.empty) +:
+        streamDetail.toSeq.map(d => IndexStore.StageRecord(
+          "stream", d.get("lastBatchId").map(b => s"batch-$b").getOrElse("compact"),
+          nDocs, 0L, d)),
       Map(
         "doctext" -> IndexStore.listTableFiles(indexDir, s"doctext/$tag"),
         "docmeta" -> IndexStore.listTableFiles(indexDir, s"docmeta/$tag"),
@@ -141,13 +161,10 @@ object Compactor {
 
     // streaming continuation: same docId space and running sums, new base
     // version — appends after a compact stand on the compacted snapshot
-    if (java.nio.file.Files.exists(IndexStore.stageMarkerPath(indexDir, "stream"))) {
-      def keep(k: String) = IndexStore.readStageDetail(indexDir, "stream", k)
-      val detail = Seq("lastBatchId", "nextDocId", "nDocs", "sumDl", "totalPostings")
-        .flatMap(k => keep(k).map(k -> _)).toMap + ("version" -> version.toString)
+    streamDetail.foreach { d =>
       IndexStore.commitStage(indexDir, IndexStore.StageRecord(
-        "stream", keep("lastBatchId").map(b => s"batch-$b").getOrElse("compact"),
-        nDocs, 0L, detail))
+        "stream", d.get("lastBatchId").map(b => s"batch-$b").getOrElse("compact"),
+        nDocs, 0L, d + ("version" -> version.toString)))
     }
     // full-build stage markers describe pre-compact dirs; a later build
     // into this dir must not resume onto them

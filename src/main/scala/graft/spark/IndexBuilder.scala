@@ -91,7 +91,19 @@ object IndexBuilder {
   private def inputSignature(pages: DataFrame, cfg: BuildConfig): String = {
     val files = pages.inputFiles.sorted
     val h = java.security.MessageDigest.getInstance("SHA-256")
-    files.foreach(f => h.update(f.getBytes("UTF-8")))
+    val hconf = pages.sparkSession.sparkContext.hadoopConfiguration
+    files.foreach { f =>
+      h.update(f.getBytes("UTF-8"))
+      // length + mtime, not just the path: an input refreshed IN PLACE
+      // under stable file names (non-Spark feed writers) must not resume
+      // onto stage outputs built from the old bytes — that would commit a
+      // snapshot silently reflecting stale data
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(hconf).getFileStatus(p)
+        h.update(s"#${st.getLen}#${st.getModificationTime}".getBytes("UTF-8"))
+      } catch { case _: Throwable => } // unstattable path: fall back to name-only
+    }
     h.update(pages.schema.json.getBytes("UTF-8"))
     h.update(cfg.toString.getBytes("UTF-8"))
     h.update(LayoutVersion.getBytes("UTF-8"))
@@ -209,6 +221,17 @@ object IndexBuilder {
     val postingsPath = s"$indexDir/$postingsDirName"
     val termStatsDirName = stageDir("termstats", s"termstats-v$intendedVersion")
     val termStatsPath = s"$indexDir/$termStatsDirName"
+
+    // The split-size tuning below mutates a SESSION-GLOBAL conf: restore
+    // the caller's value on every exit — a stage that throws would
+    // otherwise leave splits as small as 1 MB for every later job in a
+    // long-lived session, and success used to erase a user-set value.
+    val priorSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    def restoreSplit(): Unit = priorSplit match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+    try {
 
     // ---- stage 1: doctext (extract + docId assignment) ----
     if (IndexStore.stageDone(indexDir, "doctext", sig)) resumed += "doctext"
@@ -368,11 +391,9 @@ object IndexBuilder {
             it.foreach { case (term, nd, np, dls, file) =>
               nBlocks += 1
               nPost += np
-              val pf = perFile.getOrElseUpdate(file, new Array[Long](3))
-              pf(0) += 1; pf(1) += np
+              lineageAccum(perFile, file, term, nd, np)
               if (term == MetaTerm) {
                 nDocs += nd
-                pf(2) += nd
                 val r = new Varint.Reader(dls)
                 var i = 0
                 while (i < nd) { sumDl += r.nextRaw(); i += 1 }
@@ -381,24 +402,14 @@ object IndexBuilder {
             Iterator.single((nPost, nBlocks, nDocs, sumDl, perFile.toMap))
           }
           .reduce { (a, b) =>
-            val merged = scala.collection.mutable.HashMap.empty[String, Array[Long]]
-            (a._5.iterator ++ b._5.iterator).foreach { case (f, v) =>
-              val t = merged.getOrElseUpdate(f, new Array[Long](3))
-              t(0) += v(0); t(1) += v(1); t(2) += v(2)
-            }
-            (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, merged.toMap)
+            (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4,
+              lineageMergeMaps(a._5, b._5))
           }
         val avgdl = if (m._3 == 0) 1.0 else m._4.toDouble / m._3
         // per-partition lineage file: one JSON entry per posting shard
         // (blocks, postings, docs, bytes), vacuumed with its version
-        val bytesOf = listParquetFiles(spark, postingsPath)
-          .map { case (p, len) => p.substring(p.lastIndexOf('/') + 1) -> len }.toMap
         IndexStore.writeLineage(indexDir, intendedVersion,
-          m._5.map { case (uri, v) =>
-            val name = uri.substring(uri.lastIndexOf('/') + 1)
-            s"$postingsDirName/$name" ->
-              IndexStore.FileMetrics(v(0), v(1), v(2), bytesOf.getOrElse(name, -1L))
-          },
+          lineageFinish(spark, postingsPath, postingsDirName, m._5),
           provAcc.value.map { case (pid, a) =>
             pid -> IndexStore.PartitionProvenance(a(0), a(1), a(2), a(3))
           })
@@ -466,7 +477,6 @@ object IndexBuilder {
     if (scala.concurrent.Await.result(stage4F, scala.concurrent.duration.Duration.Inf))
       resumed += "termstats"
     mark("stage4-termstats")
-    spark.conf.unset("spark.sql.files.maxPartitionBytes")
     // persist the analyzer configuration with the index so query-time
     // code resolution always matches build-time tokenization (vocabs,
     // stopwords, stemming) — loaded by SparkSearcher.open
@@ -500,6 +510,7 @@ object IndexBuilder {
         "termstats" -> IndexStore.listTableFiles(indexDir, termStatsDirName))))
 
     BuildStats(nDocs, avgdl, totalPostings, resumed.toSeq)
+    } finally restoreSplit()
   }
 
   /** Parquet options for the postings table: ONE row group per file.
@@ -548,6 +559,45 @@ object IndexBuilder {
     out.toSeq
   }
 
+  // ---- shared per-file lineage primitives -------------------------------
+  // ONE definition of the accumulate/merge/finish steps, used by BOTH
+  // lineage producers (the full build's fused scalar job and
+  // postingsFileMetrics below): a semantics change applied to one copy
+  // would otherwise silently diverge full-build lineage from
+  // append/compaction lineage. Slots: 0 = blocks, 1 = Σ nPostings,
+  // 2 = Σ meta-block doc counts.
+
+  private[spark] def lineageAccum(
+      perFile: scala.collection.mutable.HashMap[String, Array[Long]],
+      file: String, term: String, nDocs: Int, nPostings: Long): Unit = {
+    val pf = perFile.getOrElseUpdate(file, new Array[Long](3))
+    pf(0) += 1; pf(1) += nPostings
+    if (term == MetaTerm) pf(2) += nDocs
+  }
+
+  private[spark] def lineageMergeMaps(
+      a: Map[String, Array[Long]], b: Map[String, Array[Long]]): Map[String, Array[Long]] = {
+    val merged = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    (a.iterator ++ b.iterator).foreach { case (f, v) =>
+      val t = merged.getOrElseUpdate(f, new Array[Long](3))
+      t(0) += v(0); t(1) += v(1); t(2) += v(2)
+    }
+    merged.toMap
+  }
+
+  /** Attach file sizes and manifest-relative names to the accumulated
+    * per-file slot arrays. */
+  private[spark] def lineageFinish(spark: SparkSession, dir: String, relPrefix: String,
+                                   perFile: Map[String, Array[Long]])
+      : Map[String, IndexStore.FileMetrics] = {
+    val bytesOf = listParquetFiles(spark, dir)
+      .map { case (p, len) => p.substring(p.lastIndexOf('/') + 1) -> len }.toMap
+    perFile.map { case (uri, v) =>
+      val name = uri.substring(uri.lastIndexOf('/') + 1)
+      s"$relPrefix/$name" -> IndexStore.FileMetrics(v(0), v(1), v(2), bytesOf.getOrElse(name, -1L))
+    }
+  }
+
   /** Per-file lineage metrics for a postings directory — the same
     * aggregation the full build fuses into its global-scalar job (blocks =
     * block rows, postings = Σ nPostings, docs = Σ meta-block doc counts,
@@ -564,29 +614,13 @@ object IndexBuilder {
       .rdd
       .mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[String, Array[Long]]
-        it.foreach { case (term, nd, np, file) =>
-          val pf = m.getOrElseUpdate(file, new Array[Long](3))
-          pf(0) += 1; pf(1) += np
-          if (term == MetaTerm) pf(2) += nd
-        }
+        it.foreach { case (term, nd, np, file) => lineageAccum(m, file, term, nd, np) }
         Iterator.single(m.toMap)
       }
     val perFile =
       if (parts.partitions.isEmpty) Map.empty[String, Array[Long]]
-      else parts.reduce { (a, b) =>
-        val merged = scala.collection.mutable.HashMap.empty[String, Array[Long]]
-        (a.iterator ++ b.iterator).foreach { case (f, v) =>
-          val t = merged.getOrElseUpdate(f, new Array[Long](3))
-          t(0) += v(0); t(1) += v(1); t(2) += v(2)
-        }
-        merged.toMap
-      }
-    val bytesOf = listParquetFiles(spark, dir)
-      .map { case (p, len) => p.substring(p.lastIndexOf('/') + 1) -> len }.toMap
-    perFile.map { case (uri, v) =>
-      val name = uri.substring(uri.lastIndexOf('/') + 1)
-      s"$relPrefix/$name" -> IndexStore.FileMetrics(v(0), v(1), v(2), bytesOf.getOrElse(name, -1L))
-    }
+      else parts.reduce(lineageMergeMaps)
+    lineageFinish(spark, dir, relPrefix, perFile)
   }
 
   def verifySingleRowGroup(spark: SparkSession, dir: String): Unit = {

@@ -173,6 +173,50 @@ object IndexStore {
         .contains("\"stage\": " + q(stage))
   }
 
+  /** Read one scalar (top-level field or stage-detail key) straight from a
+    * version's raw manifest text — stage records are not round-tripped by
+    * [[readSnapshot]]. Used to reconstruct the streaming continuation
+    * marker: `writeSnapshot` runs after every data write and BEFORE
+    * `commitStage`, so the manifest is the authoritative commit point and
+    * the marker is a reconstructible cache of its newest stream state. */
+  def manifestDetail(indexDir: String, version: Int, key: String): Option[String] = {
+    val mf = Paths.get(indexDir, s"manifest-v$version.json")
+    if (!Files.exists(mf)) None
+    else field(new String(Files.readAllBytes(mf), StandardCharsets.UTF_8), key)
+  }
+
+  /** Fast-forward the stream marker from the newest manifest that embeds
+    * stream state: `writeSnapshot` precedes `commitStage`, so after a
+    * crash the manifest can be ahead of the marker (or exist with no
+    * marker at all — a crashed first append, or a rebuild that cleared
+    * the marker and then crashed before committing). Idempotent; no-op
+    * when the marker is already current. MUST run before anything reads
+    * the marker for continuation state (appendBatch, compact): acting on
+    * a lagging marker re-derives pre-batch state against a post-batch
+    * snapshot — the double-append hole. */
+  def repairStreamMarker(indexDir: String): Unit = {
+    val markerV = readStageDetail(indexDir, "stream", "version").map(_.toInt)
+    // Walk newest-first. A FULL-BUILD manifest ends the stream lineage: a
+    // rebuild deliberately clears the marker (new lineage), so stream
+    // state from older, pre-rebuild manifests must NOT resurrect — only a
+    // stream-stage manifest NEWER than every build manifest is live.
+    listVersions(indexDir).reverse.iterator
+      .map(v => (v,
+        manifestDetail(indexDir, v, "lastBatchId"),
+        manifestHasStage(indexDir, v, "doctext"))) // builds record table stages
+      .find { case (_, batch, isBuild) => batch.nonEmpty || isBuild }
+      .foreach {
+        case (v, Some(batch), _) if markerV.forall(_ < v) =>
+          val keys = Seq("lastBatchId", "nextDocId", "nDocs", "sumDl", "totalPostings")
+          val detail = keys.flatMap(k => manifestDetail(indexDir, v, k).map(k -> _)).toMap
+          if (detail.size == keys.size)
+            commitStage(indexDir, StageRecord(
+              "stream", s"batch-$batch", 0L, 0L,
+              detail + ("version" -> v.toString)))
+        case _ => () // newest lineage event is a build, or marker already current
+      }
+  }
+
   def currentVersion(indexDir: String): Option[Int] = {
     val p = Paths.get(indexDir, "CURRENT")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)

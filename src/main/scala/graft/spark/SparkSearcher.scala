@@ -35,6 +35,12 @@ object SparkSearcher {
     * bm25TopKBatch). Production uses GRAFT_BM25_SLOT_CHUNKS / auto. */
   private[graft] var slotChunksOverride: Option[Int] = None
 
+  /** Bench/test hook: drop the warm-tag hints (pairs with
+    * ContribCache.clear() to put the serving layer back in its
+    * never-served-this-snapshot state — the bench's cold batch needs the
+    * TRUE bootstrap, and any prior cache-on batch fills every term). */
+  def forgetServingWarmth(): Unit = warmContribTags.clear()
+
   /** Open with the analyzer persisted at build time (falls back to the
     * default analyzer for pre-analyzer.bin indexes). */
   def open(spark: SparkSession, indexDir: String): SparkSearcher =

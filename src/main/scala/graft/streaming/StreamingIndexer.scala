@@ -45,6 +45,18 @@ object StreamingIndexer {
                   cfg: IndexBuilder.BuildConfig, batchId: Long): Long = {
     import spark.implicits._
 
+    // The snapshot manifest is the authoritative commit point: it is
+    // written after every data write and BEFORE the stream marker, and it
+    // embeds the full continuation state in its stream stage record. A
+    // crash between the two leaves the manifest ahead of the marker (or
+    // with no marker at all, for a first append) — repair the marker from
+    // the newest manifest carrying stream state FIRST, so the replayed
+    // batch dedups like any committed one: no double count, no recompute,
+    // and a rebuild-crash that cleared the marker (build() deletes it
+    // before committing the rebuild) reconstructs it from the streamed
+    // CURRENT instead of re-deriving stale state.
+    IndexStore.repairStreamMarker(indexDir)
+
     val committed = IndexStore.readStageDetail(indexDir, "stream", "lastBatchId").map(_.toLong)
     if (committed.exists(_ >= batchId)) return 0L // replayed batch: already in
 
@@ -270,9 +282,17 @@ object StreamingIndexer {
     // snapshot first, stream marker last: a crash between them replays the
     // batch, whose overwrites + re-commit are idempotent (same files, same
     // running sums derived from the same pre-batch marker state).
+    // the stage record embeds the FULL continuation state: the manifest is
+    // thereby the commit point, and the marker below is reconstructible
+    // from it (see the repair block at the top of this method)
     IndexStore.writeSnapshot(indexDir, IndexStore.Snapshot(
       version, nDocs, avgdl, totalPostings,
-      Seq(IndexStore.StageRecord("stream", s"batch-$batchId", batchDocs, 0L, Map.empty)),
+      Seq(IndexStore.StageRecord("stream", s"batch-$batchId", batchDocs, 0L,
+        Map("lastBatchId" -> batchId.toString,
+          "nextDocId" -> (maxDocId + 1).toString,
+          "nDocs" -> nDocs.toString,
+          "sumDl" -> sumDl.toString,
+          "totalPostings" -> totalPostings.toString))),
       Map(
         "doctext" -> tableFiles("doctext"),
         "docmeta" -> tableFiles("docmeta"),

@@ -10,13 +10,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Crash-replay holes in the append path (round-5 review): a batch that
   * crashes BETWEEN `writeSnapshot` and `commitStage` leaves CURRENT
-  * pointing at its own half-committed snapshot while the stream marker
-  * (or no marker at all, for a first append) still describes the
-  * pre-batch state. The checkpoint will replay the batch; the replay
-  * must base on the pre-batch snapshot — basing on CURRENT would
-  * double-merge the batch's termstats, double-count its docs, and orphan
-  * its docIds. And `vacuum` must never expire the marker-pinned base
-  * version, or the replay has nothing correct to stand on.
+  * pointing at its own complete snapshot while the stream marker (or no
+  * marker at all, for a first append) still describes the pre-batch
+  * state. The manifest is the authoritative commit point (it embeds the
+  * full continuation state in its stream stage record), so the replay
+  * must REPAIR the marker from it and dedup — basing a re-run on CURRENT
+  * would double-merge the batch's termstats, double-count its docs, and
+  * orphan its docIds; basing a re-run on a lagging marker against a
+  * post-batch/compacted CURRENT double-appends. And `vacuum` must never
+  * expire the marker-pinned base version.
   */
 class StreamRecoverySpec extends AnyFunSuite {
 
@@ -64,7 +66,7 @@ class StreamRecoverySpec extends AnyFunSuite {
     }
   }
 
-  test("marker-less crashed FIRST append: replay bases on the build, not on its own half-commit") {
+  test("marker-less crashed FIRST append: replay repairs the marker from the manifest and dedups") {
     val dir = java.nio.file.Files.createTempDirectory("graftrec1").toString + "/idx"
     IndexBuilder.build(spark, pagesRange(0, 40), dir, cfg)
     assert(StreamingIndexer.appendBatch(spark, pagesRange(40, 60), dir, cfg, batchId = 0L) == 20L)
@@ -72,17 +74,27 @@ class StreamRecoverySpec extends AnyFunSuite {
     // never ran → no stream marker, CURRENT = the attempt's own snapshot
     java.nio.file.Files.delete(IndexStore.stageMarkerPath(dir, "stream"))
     assert(IndexStore.currentVersion(dir).contains(2))
-    // checkpoint replays batch 0
-    assert(StreamingIndexer.appendBatch(spark, pagesRange(40, 60), dir, cfg, batchId = 0L) == 20L)
+    // checkpoint replays batch 0: the manifest IS the commit (every data
+    // write precedes writeSnapshot), so the replay must reconstruct the
+    // marker from it and return 0 — not re-run and double-count
+    assert(StreamingIndexer.appendBatch(spark, pagesRange(40, 60), dir, cfg, batchId = 0L) == 0L,
+      "replay re-ran a batch whose snapshot had already committed")
+    assert(IndexStore.currentVersion(dir).contains(2), "replay must not write a new version")
+    assert(IndexStore.readStageDetail(dir, "stream", "lastBatchId").contains("0"),
+      "marker not repaired from the manifest")
     val snap = IndexStore.readSnapshot(dir).get
     assert(snap.nDocs == 60L,
       s"replay double-counted the batch (nDocs ${snap.nDocs}, want 60)")
     // df/cf and ranks must equal a single-ingest reference — a double
     // termstats merge shows up in bm25 even when nDocs happens to be right
     assertMatchesRef(dir, Seq(0 until 40, 40 until 60), "after marker-less replay")
+    // and the NEXT batch continues the docId space seamlessly
+    assert(StreamingIndexer.appendBatch(spark, pagesRange(60, 70), dir, cfg, batchId = 1L) == 10L)
+    assert(IndexStore.readSnapshot(dir).get.nDocs == 70L)
+    assertMatchesRef(dir, Seq(0 until 40, 40 until 60, 60 until 70), "after follow-on batch")
   }
 
-  test("vacuum retains the marker-pinned base; crashed LATER append replays exactly") {
+  test("vacuum retains the marker-pinned base; crashed LATER append dedups on replay") {
     val dir = java.nio.file.Files.createTempDirectory("graftrec2").toString + "/idx"
     IndexBuilder.build(spark, pagesRange(0, 40), dir, cfg)
     assert(StreamingIndexer.appendBatch(spark, pagesRange(40, 50), dir, cfg, batchId = 0L) == 10L)
@@ -97,11 +109,39 @@ class StreamRecoverySpec extends AnyFunSuite {
     IndexStore.vacuum(dir, keep = 1)
     assert(IndexStore.readSnapshot(dir, Some(2)).nonEmpty,
       "vacuum expired the marker-pinned base snapshot")
-    // checkpoint replays batch 1 on restart
-    assert(StreamingIndexer.appendBatch(spark, pagesRange(50, 60), dir, cfg, batchId = 1L) == 10L)
+    // checkpoint replays batch 1 on restart: batch 1's snapshot (v3) is
+    // already committed → marker repaired to v3, replay dedups
+    assert(StreamingIndexer.appendBatch(spark, pagesRange(50, 60), dir, cfg, batchId = 1L) == 0L,
+      "replay re-ran a batch whose snapshot had already committed")
+    assert(IndexStore.readStageDetail(dir, "stream", "version").contains("3"),
+      "marker not fast-forwarded to the committed batch's version")
     val snap = IndexStore.readSnapshot(dir).get
     assert(snap.nDocs == 60L, s"replay corrupted the doc count (${snap.nDocs}, want 60)")
     assertMatchesRef(dir, Seq(0 until 40, 40 until 50, 50 until 60), "after pinned-base replay")
+  }
+
+  test("compact after a crashed append fast-forwards the lagging marker (no double-append)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftrec4").toString + "/idx"
+    IndexBuilder.build(spark, pagesRange(0, 40), dir, cfg)
+    assert(StreamingIndexer.appendBatch(spark, pagesRange(40, 50), dir, cfg, batchId = 0L) == 10L)
+    val markerPath = IndexStore.stageMarkerPath(dir, "stream")
+    val committedMarker = java.nio.file.Files.readAllBytes(markerPath)
+    assert(StreamingIndexer.appendBatch(spark, pagesRange(50, 60), dir, cfg, batchId = 1L) == 10L)
+    java.nio.file.Files.write(markerPath, committedMarker) // crash window: marker lags at batch 0
+    // maintenance compaction runs before the stream restarts: it must NOT
+    // re-point the LAGGING marker onto the compacted base (whose rewrite
+    // contains batch 1 already) — the replay would then re-append batch 1
+    graft.spark.Compactor.compact(spark, dir)
+    assert(StreamingIndexer.appendBatch(spark, pagesRange(50, 60), dir, cfg, batchId = 1L) == 0L,
+      "replayed batch re-appended after compaction (marker was not fast-forwarded)")
+    val snap = IndexStore.readSnapshot(dir).get
+    assert(snap.nDocs == 60L, s"double-append after compact (nDocs ${snap.nDocs}, want 60)")
+    assertMatchesRef(dir, Seq(0 until 40, 40 until 50, 50 until 60), "after compact + replay")
+    // and new batches continue on the compacted snapshot
+    assert(StreamingIndexer.appendBatch(spark, pagesRange(60, 70), dir, cfg, batchId = 2L) == 10L)
+    assert(IndexStore.readSnapshot(dir).get.nDocs == 70L)
+    assertMatchesRef(dir, Seq(0 until 40, 40 until 50, 50 until 60, 60 until 70),
+      "batch after compact")
   }
 
   test("append paginates with the INDEX's persisted props, not the caller's config") {

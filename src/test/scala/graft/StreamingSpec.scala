@@ -165,9 +165,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(IndexStore.readSnapshot(indexDir).get.nDocs == before.nDocs)
 
     // crash-replay exactly-once: simulate a batch that wrote its data dirs
-    // and snapshot but crashed BEFORE the stream marker committed — the
-    // checkpoint replays it; batch-scoped overwrite must leave counts
-    // identical (no double-counted docs/postings), only the version moves
+    // and snapshot but crashed BEFORE the stream marker committed. The
+    // manifest is the authoritative commit point (it embeds the stream
+    // state), so the replay must REPAIR the marker from it and dedup —
+    // returning 0, writing no new version, leaving counts identical
     val batch2 = graft.fixtures.PagesGen.pages(spark, 90, parts = 2)
       .filter(col("url").isin((70 until 90).map(i => graft.fixtures.PagesGen.urlFor(i.toLong)): _*))
       .toDF()
@@ -181,11 +182,15 @@ class StreamingSpec extends AnyFunSuite {
     // written, marker not yet advanced)
     java.nio.file.Files.write(marker, preBatchMarker)
     val replayed = StreamingIndexer.appendBatch(spark, batch2, indexDir, cfg, batchId = 2L)
-    assert(replayed == added, s"replay re-appended $replayed (first run $added)")
+    assert(replayed == 0L,
+      s"replay must dedup against the committed manifest (re-appended $replayed)")
     val after = IndexStore.readSnapshot(indexDir).get
+    assert(after.version == committed.version, "replay must not write a new version")
     assert(after.nDocs == committed.nDocs, s"nDocs ${after.nDocs} vs ${committed.nDocs}")
     assert(after.totalPostings == committed.totalPostings, "postings double-counted on replay")
     assert(after.files("doctext").size == committed.files("doctext").size, "doctext files grew")
+    assert(IndexStore.readStageDetail(indexDir, "stream", "version")
+      .contains(committed.version.toString), "marker not repaired to the committed version")
     memAdd(70 until 90)
     check("after-crash-replay")
   }
