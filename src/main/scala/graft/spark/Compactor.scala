@@ -134,6 +134,15 @@ object Compactor {
     // above already computed it) ----
     IndexStore.writeLineage(indexDir, version, metrics)
 
+    // version-pinned analyzer/pagination for the compacted snapshot: the
+    // rewrite preserves the base version's tokenization, so its artifacts
+    // carry over verbatim (readers pair any version with ITS copies)
+    IndexBuilder.readAnalyzer(indexDir, Some(snap.version)).foreach { an =>
+      val props = IndexBuilder.readBuildPropsOpt(indexDir, Some(snap.version))
+        .getOrElse((0, false))
+      IndexBuilder.writeVersionedArtifacts(indexDir, version, an, props._1, props._2)
+    }
+
     // ---- commit ----
     // streaming continuation state rides INSIDE the manifest's stage
     // records too: the manifest is the authoritative commit point, so a

@@ -480,15 +480,15 @@ object IndexBuilder {
     // persist the analyzer configuration with the index so query-time
     // code resolution always matches build-time tokenization (vocabs,
     // stopwords, stemming) — loaded by SparkSearcher.open
-    locally {
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(an)
-      oos.close()
-      // atomic: a truncated analyzer.bin would fail every SparkSearcher.open
-      IndexStore.writeFileAtomic(indexDir, "analyzer.bin", bos.toByteArray)
-    }
+    // atomic: a truncated analyzer.bin would fail every SparkSearcher.open
+    IndexStore.writeFileAtomic(indexDir, "analyzer.bin", analyzerBytes(an))
     writeBuildProps(indexDir, cfg)
+    // version-pinned copies: readers resolve THIS version's analyzer/props
+    // even after a later cfg-changed rebuild overwrites the unversioned
+    // files (time travel), and open() pairs CURRENT with its own version's
+    // copies — closing the crash window between the overwrites above and
+    // the manifest commit below
+    writeVersionedArtifacts(indexDir, intendedVersion, an, cfg.pageSize, cfg.formFeedPages)
 
     // a full (re)build starts a new lineage: clear any streaming
     // continuation marker so a later append derives its docId space and
@@ -1059,26 +1059,77 @@ object IndexBuilder {
 
   /** Persist the pagination knobs query-side snippet assembly must share
     * with the build (pagesOf is called on BOTH sides of the index). */
-  def writeBuildProps(indexDir: String, cfg: BuildConfig): Unit = {
+  def writeBuildProps(indexDir: String, cfg: BuildConfig): Unit =
+    IndexStore.writeFileAtomic(indexDir, "buildcfg.properties",
+      propsBytes(cfg.pageSize, cfg.formFeedPages))
+
+  private def propsBytes(pageSize: Int, formFeed: Boolean): Array[Byte] = {
     val p = new java.util.Properties()
-    p.setProperty("pageSize", cfg.pageSize.toString)
-    p.setProperty("formFeedPages", cfg.formFeedPages.toString)
+    p.setProperty("pageSize", pageSize.toString)
+    p.setProperty("formFeedPages", formFeed.toString)
     val bos = new java.io.ByteArrayOutputStream()
     p.store(bos, "graft build pagination config")
-    // atomic, like analyzer.bin: readers parse this on every open
-    IndexStore.writeFileAtomic(indexDir, "buildcfg.properties", bos.toByteArray)
+    bos.toByteArray
   }
 
-  /** (pageSize, formFeedPages) of an index; defaults for pre-props indexes. */
-  def readBuildProps(indexDir: String): (Int, Boolean) = {
-    val f = java.nio.file.Paths.get(indexDir, "buildcfg.properties")
-    if (!java.nio.file.Files.exists(f)) (0, false)
+  private[graft] def analyzerBytes(an: Analyzer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(an)
+    oos.close()
+    bos.toByteArray
+  }
+
+  /** Version-pinned copies of the analyzer and pagination props
+    * (`analyzer-v$N.bin` / `buildcfg-v$N.properties`), written at every
+    * snapshot commit: a reader pinned to a snapshot must pair it with ITS
+    * analyzer/pagination — a cfg-changed rebuild overwrites the
+    * unversioned files, which would otherwise silently mismatch
+    * time-traveled snapshots (and CURRENT, in the crash window between
+    * the unversioned overwrite and the new manifest). The unversioned
+    * files remain as the pre-versioning fallback. Expired by vacuum with
+    * their manifest. */
+  def writeVersionedArtifacts(indexDir: String, version: Int, an: Analyzer,
+                              pageSize: Int, formFeed: Boolean): Unit = {
+    IndexStore.writeFileAtomic(indexDir, s"analyzer-v$version.bin", analyzerBytes(an))
+    IndexStore.writeFileAtomic(indexDir, s"buildcfg-v$version.properties",
+      propsBytes(pageSize, formFeed))
+  }
+
+  private def readAnalyzerFile(f: java.nio.file.Path): Option[Analyzer] =
+    if (!java.nio.file.Files.exists(f)) None
     else {
-      val p = new java.util.Properties()
-      val in = java.nio.file.Files.newInputStream(f)
-      try p.load(in) finally in.close()
-      (p.getProperty("pageSize", "0").toInt, p.getProperty("formFeedPages", "false").toBoolean)
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(f)))
+      try Some(ois.readObject().asInstanceOf[Analyzer]) finally ois.close()
     }
+
+  /** The analyzer persisted for a snapshot version (versioned file first,
+    * unversioned fallback for pre-versioning indexes). */
+  def readAnalyzer(indexDir: String, version: Option[Int]): Option[Analyzer] =
+    version.flatMap(v =>
+      readAnalyzerFile(java.nio.file.Paths.get(indexDir, s"analyzer-v$v.bin")))
+      .orElse(readAnalyzerFile(java.nio.file.Paths.get(indexDir, "analyzer.bin")))
+
+  /** (pageSize, formFeedPages) of an index; defaults for pre-props indexes. */
+  def readBuildProps(indexDir: String): (Int, Boolean) =
+    readBuildPropsOpt(indexDir, None).getOrElse((0, false))
+
+  /** Version-aware pagination props (versioned file first, unversioned
+    * fallback); None when neither exists. */
+  def readBuildPropsOpt(indexDir: String, version: Option[Int]): Option[(Int, Boolean)] = {
+    def load(f: java.nio.file.Path): Option[(Int, Boolean)] =
+      if (!java.nio.file.Files.exists(f)) None
+      else {
+        val p = new java.util.Properties()
+        val in = java.nio.file.Files.newInputStream(f)
+        try p.load(in) finally in.close()
+        Some((p.getProperty("pageSize", "0").toInt,
+          p.getProperty("formFeedPages", "false").toBoolean))
+      }
+    version.flatMap(v =>
+      load(java.nio.file.Paths.get(indexDir, s"buildcfg-v$v.properties")))
+      .orElse(load(java.nio.file.Paths.get(indexDir, "buildcfg.properties")))
   }
 
   private def dirBytes(path: String): Long = {

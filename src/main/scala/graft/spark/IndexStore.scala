@@ -378,10 +378,13 @@ object IndexStore {
       }
     }
     tableRoots.foreach(walk)
-    // expire old manifests
+    // expire old manifests (+ their version-pinned analyzer/pagination
+    // copies — every retained version carries its own)
     val expired = versions.filterNot(keepV)
     expired.foreach { v =>
       Files.deleteIfExists(root.resolve(s"manifest-v$v.json"))
+      Files.deleteIfExists(root.resolve(s"analyzer-v$v.bin"))
+      Files.deleteIfExists(root.resolve(s"buildcfg-v$v.properties"))
       // a lineage file outlives its manifest while its described postings
       // files are still referenced by a LIVE snapshot: incremental/
       // streaming versions adopt an older build's files and write no

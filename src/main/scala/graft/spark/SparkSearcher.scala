@@ -48,15 +48,13 @@ object SparkSearcher {
 
   /** Open pinned to a snapshot version (Iceberg-style time travel): the
     * reader sees exactly the files that manifest listed, even if later
-    * streaming batches appended more. */
+    * streaming batches appended more — paired with THAT VERSION's
+    * persisted analyzer (a cfg-changed rebuild overwrites the unversioned
+    * analyzer.bin; tokenizing v_old's postings with v_new's analyzer
+    * silently returns wrong/empty results). */
   def open(spark: SparkSession, indexDir: String, version: Option[Int]): SparkSearcher = {
-    val f = java.nio.file.Paths.get(indexDir, "analyzer.bin")
-    val an =
-      if (java.nio.file.Files.exists(f)) {
-        val ois = new java.io.ObjectInputStream(
-          new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(f)))
-        try ois.readObject().asInstanceOf[Analyzer] finally ois.close()
-      } else Analyzer()
+    val v = version.orElse(IndexStore.currentVersion(indexDir))
+    val an = IndexBuilder.readAnalyzer(indexDir, v).getOrElse(Analyzer())
     new SparkSearcher(spark, indexDir, an, version)
   }
 
@@ -328,12 +326,12 @@ final class SparkSearcher(
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-  // Pagination knobs persisted by the build: snippet texts must re-derive
-  // page boundaries with the SAME pagesOf call the tokenizer used, or page
-  // ids ≥ "2" (pageSize chunking, '\f'-pre-paginated PDF pages) would find
-  // no text. Defaults (0, false) keep pre-props indexes on the single-page
-  // contract.
-  @transient private val (buildPageSize, buildFormFeed) = IndexBuilder.readBuildProps(indexDir)
+  // Pagination knobs persisted by the build — THIS SNAPSHOT's copy, so a
+  // pinned reader re-derives page boundaries with the pagesOf call ITS
+  // version's tokenizer used even after a later rebuild changed pageSize.
+  // Defaults (0, false) keep pre-props indexes on the single-page contract.
+  @transient private val (buildPageSize, buildFormFeed) =
+    IndexBuilder.readBuildPropsOpt(indexDir, Some(snap.version)).getOrElse((0, false))
   private def bodyPagesOf(body: String): Seq[(String, String)] =
     IndexBuilder.pagesOf(body, buildPageSize, buildFormFeed)
 

@@ -122,14 +122,14 @@ object StreamingIndexer {
 
     // the analyzer persisted at build/first-append time wins: appending
     // with a different tokenizer config would silently mix incompatible
-    // term codes (stems, vocab groups, stopword sets).
+    // term codes (stems, vocab groups, stopword sets). Resolved for the
+    // BASE version (versioned copy first) so appends stay code-compatible
+    // with the lineage they extend even if a parallel dir once held a
+    // different config.
     val anFile = java.nio.file.Paths.get(indexDir, "analyzer.bin")
     val an: graft.text.Analyzer =
-      if (java.nio.file.Files.exists(anFile)) {
-        val ois = new java.io.ObjectInputStream(
-          new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(anFile)))
-        try ois.readObject().asInstanceOf[graft.text.Analyzer] finally ois.close()
-      } else IndexBuilder.analyzerFor(cfg)
+      IndexBuilder.readAnalyzer(indexDir, baseSnap.map(_.version))
+        .getOrElse(IndexBuilder.analyzerFor(cfg))
 
     val src = cfg.sourceName
     val inc = cfg.includeHeaders
@@ -140,10 +140,8 @@ object StreamingIndexer {
     // from the wrong offsets (e.g. `Main append` passes a default config
     // to an index built with --page-size 3000).
     val (psz, ffp) =
-      if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(indexDir, "buildcfg.properties")))
-        IndexBuilder.readBuildProps(indexDir)
-      else (cfg.pageSize, cfg.formFeedPages)
+      IndexBuilder.readBuildPropsOpt(indexDir, baseSnap.map(_.version))
+        .getOrElse((cfg.pageSize, cfg.formFeedPages))
     val bits = cfg.bucketBits
 
     val batchTag = s"batch-$batchId"
@@ -242,13 +240,9 @@ object StreamingIndexer {
     val totalPostings = prevPostings + batchPostings
 
     if (!java.nio.file.Files.exists(anFile)) {
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(an)
-      oos.close()
       // atomic, like every other commit artifact: a truncated analyzer.bin
       // from a mid-write crash would crash-loop every replay at readObject
-      IndexStore.writeFileAtomic(indexDir, "analyzer.bin", bos.toByteArray)
+      IndexStore.writeFileAtomic(indexDir, "analyzer.bin", IndexBuilder.analyzerBytes(an))
     }
     // pagination props must persist with the index: the query side's
     // snippet assembly re-derives pages from (pageSize, formFeedPages),
@@ -257,6 +251,10 @@ object StreamingIndexer {
     if (!java.nio.file.Files.exists(
       java.nio.file.Paths.get(indexDir, "buildcfg.properties")))
       IndexBuilder.writeBuildProps(indexDir, cfg)
+    // version-pinned copies for THIS snapshot (the effective analyzer and
+    // pagination, which appends inherit from their base) — time-traveled
+    // readers pair a version with ITS artifacts across later rebuilds
+    IndexBuilder.writeVersionedArtifacts(indexDir, version, an, psz, ffp)
 
     // manifest adopts ONLY the previous snapshot's files + this batch's
     // own directories — an orphaned directory from an abandoned attempt is

@@ -86,4 +86,37 @@ class SnapshotSpec extends AnyFunSuite {
     assert(out.docs.nonEmpty && out.docs.head.pages.nonEmpty)
     assert(cur2.bm25TopKBatch(Seq(Seq("old", "lady")), 5).head.nonEmpty)
   }
+
+  test("time travel pairs a version with ITS analyzer and pagination props") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-art").toString
+    val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    val doc = Seq(("http://s/a", null: Array[Byte], filler + "abcde " + "zanzibar quokka"))
+      .toDF("url", "html", "text")
+    // v1: pageSize=40, no stopwords — probe term lands past page 1
+    IndexBuilder.build(spark, doc, dir, IndexBuilder.BuildConfig(bucketBits = 4, pageSize = 40))
+    // v2: REBUILD with a different config — single page AND the probe term
+    // stop-worded. The unversioned analyzer.bin/buildcfg.properties now
+    // describe v2; a v1 reader resolving them would (a) parse "zanzibar"
+    // away at query time and (b) re-derive a 1-page body that mismatches
+    // v1's page table.
+    IndexBuilder.build(spark, doc, dir,
+      IndexBuilder.BuildConfig(bucketBits = 4, pageSize = 0, stopWords = Set("zanzibar")))
+    assert(IndexStore.currentVersion(dir).contains(2))
+
+    val v1 = SparkSearcher.open(spark, dir, Some(1))
+    val hit1 = v1.search("zanzibar")
+    assert(hit1.docs.nonEmpty, "v1 must still resolve 'zanzibar' with ITS analyzer")
+    val page1 = hit1.docs.head.pages.head
+    assert(page1.pageId.toInt >= 2, s"v1 page table says page >= 2, got ${page1.pageId}")
+    assert(page1.text.contains("zanzibar"),
+      s"v1 snippet must re-derive pages with v1's pageSize: '${page1.text}'")
+
+    // CURRENT pairs with v2's artifacts: the term is stop-worded away
+    val v2 = SparkSearcher.open(spark, dir)
+    assert(v2.search("zanzibar").docs.isEmpty, "v2's stopword must apply to v2 queries")
+    val v2hit = v2.search("quokka")
+    assert(v2hit.docs.nonEmpty && v2hit.docs.head.pages.head.pageId == "1",
+      "v2 is single-page by ITS config")
+  }
 }
