@@ -13,9 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * ANN operators. Replaces a chain of higher-order functions
   * (`aggregate(zip_with(...))` + two `transform` norms), which evaluate
   * interpreted lambdas per element; this is one fused loop in generated
-  * Java. Semantics match the HOF formulation exactly on equal-length
-  * arrays: dot over min length, each norm over its full array, all math in
-  * Double.
+  * Java. Semantics match the HOF formulation on equal-length arrays (dot
+  * over min length, each norm over its full array, all math in Double)
+  * with two DELIBERATE refinements for real corpora:
+  *  - a zero-norm operand yields 0.0 ("orthogonal"), never NaN — NaN
+  *    sorts GREATEST in both Spark and DuckDB descending orders, so an
+  *    empty/zero embedding would otherwise become the rank-1 neighbor of
+  *    every query;
+  *  - a null ELEMENT propagates NULL (reading the slot would return an
+  *    undefined value on unsafe rows), like the HOF formulation.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,12 +40,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    CosineSimilarity.cosine(a, b)
+    CosineSimilarity.cosine(a, b) // boxed: null propagates a null element
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.CosineSimilarity.cosine($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $boxed = graft.functions.CosineSimilarity.cosine($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
@@ -50,13 +62,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
 
-  /** shared by interpreted eval and generated code. */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  /** Shared by interpreted eval and generated code. Boxed so a null
+    * ELEMENT can propagate NULL (ArrayData.getFloat on a null slot is
+    * undefined for unsafe rows); a zero-norm operand yields 0.0, never
+    * NaN (see the class scaladoc). The isNullAt checks are bitset reads —
+    * negligible next to the multiply-adds. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     val na = a.numElements()
     val nb = b.numElements()
+    var i = 0
+    while (i < na) { if (a.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < nb) { if (b.isNullAt(i)) return null; i += 1 }
     val n = math.min(na, nb)
     var dot = 0.0
-    var i = 0
+    i = 0
     while (i < n) {
       dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
@@ -67,7 +87,8 @@ object CosineSimilarity {
     var sb = 0.0
     i = 0
     while (i < nb) { val y = b.getFloat(i).toDouble; sb += y * y; i += 1 }
-    dot / (math.sqrt(sa) * math.sqrt(sb))
+    val denom = math.sqrt(sa) * math.sqrt(sb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   val name = "graft_cosine"

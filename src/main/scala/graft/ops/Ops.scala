@@ -69,14 +69,28 @@ object Ops {
   private def tokArr = expr(
     s"filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32)")
 
+  /** Strict-'>' argmax over per-language score columns (first language in
+    * `langs` order wins ties) — ONE definition for both language-ID ops:
+    * the tie-break is golden-pinned and a fix applied to a single copy
+    * would silently desynchronize ops documented as identical. */
+  private def argmaxLang(langs: Seq[String]): org.apache.spark.sql.Column =
+    langs.foldLeft((lit(-1L), lit("und"))) { case ((bs, bl), l) =>
+      val better = col(s"s_$l") > bs
+      (when(better, col(s"s_$l")).otherwise(bs), when(better, lit(l)).otherwise(bl))
+    }._2
+
   val qualityScore = Op("quality_score",
     (s, dir) => {
       val nt = size(tokArr)
       val stopList = stopSet.map(w => s"'$w'").mkString(", ")
       // NULL stats for token-less docs, as the grouped form's LEFT JOIN gave
       docs(s, dir).select(col("doc_id"), col("n_chars"),
-          round(size(regexp_extract_all(col("text"), lit("[^\\sa-zA-Z0-9]"), lit(0)))
-            .cast("double") / col("n_chars"), 4).as("punct_ratio"),
+          // n_chars = 0 guard: Spark non-ANSI division yields NULL but
+          // DuckDB's IEEE float ops yield inf/NaN — pin both engines to
+          // NULL for an empty doc (see the matching CASE in the oracle)
+          when(col("n_chars") > 0,
+            round(size(regexp_extract_all(col("text"), lit("[^\\sa-zA-Z0-9]"), lit(0)))
+              .cast("double") / col("n_chars"), 4)).as("punct_ratio"),
           when(nt > 0, nt.cast("long")).as("n_tok"),
           when(nt > 0, round(
             expr(s"aggregate(transform(filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32), t -> length(t)), 0L, (acc, x) -> acc + x)")
@@ -92,7 +106,7 @@ object Ops {
             |         round(sum(CASE WHEN term IN ('the','a','of','and','to') THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS stop_ratio
             |  FROM f GROUP BY doc_id)
             |SELECT d.doc_id, d.n_chars,
-            |       round(len(regexp_extract_all(d.text, '[^\\sa-zA-Z0-9]', 0))::DOUBLE / d.n_chars, 4) AS punct_ratio,
+            |       CASE WHEN d.n_chars > 0 THEN round(len(regexp_extract_all(d.text, '[^\\sa-zA-Z0-9]', 0))::DOUBLE / d.n_chars, 4) END AS punct_ratio,
             |       st.n_tok, st.avg_len, st.stop_ratio
             |FROM documents d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin))
 
@@ -115,12 +129,7 @@ object Ops {
       }
       val scored = docs(s, dir).filter(size(tokArr) > 0)
         .select((col("doc_id") +: scoreCols): _*)
-      val langCols = markers.keys.toSeq.sorted
-      val withPred = scored.withColumn("pred",
-        langCols.foldLeft((lit(-1L), lit("und"))) { case ((bs, bl), l) =>
-          val better = col(s"s_$l") > bs
-          (when(better, col(s"s_$l")).otherwise(bs), when(better, lit(l)).otherwise(bl))
-        }._2)
+      val withPred = scored.withColumn("pred", argmaxLang(markers.keys.toSeq.sorted))
       withPred.select(col("doc_id"), col("pred")).orderBy("doc_id")
     },
     Some(s"""WITH $toksSql,
@@ -164,11 +173,7 @@ object Ops {
       }.reduce(_ + _)
       val scored = docs(s, dir).select(
         (col("doc_id") +: ngramProfiles.map { case (l, gs) => score(gs).as(s"s_$l") }): _*)
-      val pred = ngramProfiles.map(_._1).foldLeft((lit(-1L), lit("und"))) {
-        case ((bs, bl), l) =>
-          val better = col(s"s_$l") > bs
-          (when(better, col(s"s_$l")).otherwise(bs), when(better, lit(l)).otherwise(bl))
-      }._2
+      val pred = argmaxLang(ngramProfiles.map(_._1))
       scored.select(col("doc_id"), pred.as("pred")).orderBy("doc_id")
     },
     Some {
@@ -402,13 +407,22 @@ object Ops {
     * in the pair's shingle lists. */
   val ngramJaccard = Op("dedup_jaccard_top",
     (s, dir) => {
+      // materialize the LSH candidate pairs ONCE (localCheckpoint truncates
+      // the lineage): cand is referenced three times below and each
+      // reference would otherwise embed — and possibly re-run — the whole
+      // corpus-wide minhash kernel, leaving the dedup cost optimizer-
+      // dependent (ReuseExchange) instead of structurally bounded
       val cand = minhashPairs.query(s, dir).select(col("a"), col("b"))
+        .localCheckpoint(true)
       // only candidate docs' shingles matter; the candidate set is the
       // LSH dedup output (≪ corpus — buckets bound pair counts), so it
       // broadcasts and the corpus never pays the shingle explode
       val candDocs = cand.select(col("a").as("doc_id"))
         .union(cand.select(col("b").as("doc_id"))).distinct()
-      val sh = shingles(s, dir, Some(candDocs))
+      // sh is read three times (sizes + both sides of the intersection
+      // join); each read is a corpus scan filtered by the candidate
+      // semi-join — materialize the (candidate-bounded) shingle set once
+      val sh = shingles(s, dir, Some(candDocs)).localCheckpoint(true)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
@@ -477,6 +491,13 @@ object Ops {
         throw new IllegalStateException(
           s"dedup_clusters: min-label propagation did not converge in $iter rounds " +
             "(duplicate-chain diameter exceeds the iteration cap)")
+      // release the loop's caches: pin the final labels via an eager
+      // localCheckpoint (lineage truncated — no recompute on consumption),
+      // then drop the edge frame and the last iteration's cached step so
+      // repeated invocations in one session don't accumulate storage blocks
+      labels = labels.localCheckpoint(true)
+      edges.unpersist()
+      if (cachedPrev != null) cachedPrev.unpersist()
       verts.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster"), col("doc_id")).as("cluster"))
@@ -499,6 +520,16 @@ object Ops {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** DuckDB-side cosine matching the engine's zero-norm→0 convention (see
+    * graft.functions.CosineSimilarity): a zero-norm operand yields 0, not
+    * NaN — NaN sorts GREATEST under ORDER BY cos DESC in both engines, so
+    * an empty/zero embedding would otherwise rank first for every query.
+    * ONE generator for every oracle, so the convention cannot drift. */
+  private def sqlCos(va: String, vb: String): String =
+    s"CASE WHEN list_dot_product($va, $va) = 0 OR list_dot_product($vb, $vb) = 0 THEN 0 " +
+      s"ELSE list_dot_product($va, $vb) / " +
+      s"(sqrt(list_dot_product($va, $va)) * sqrt(list_dot_product($vb, $vb))) END"
 
   /** exact cosine between columns `qv` and `embedding` (doubles, 5 dp) —
     * the native codegen expression (graft.functions.CosineSimilarity), one
@@ -532,12 +563,10 @@ object Ops {
 
   val annBrute = Op("ann_cosine_topk",
     (s, dir) => annBruteTopK(emb(s, dir), 5),
-    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
            |cos AS (
            |  SELECT q.qid, e.vec_id,
-           |         round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
-           |               (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
-           |                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 5) AS cos
+           |         round(${sqlCos("q.qv::DOUBLE[]", "e.embedding::DOUBLE[]")}, 5) AS cos
            |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
            |rk AS (SELECT qid, vec_id, cos,
            |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
@@ -580,14 +609,14 @@ object Ops {
     bucket
   }
 
-  /** LSH-bucketed ANN: L tables of `lshBits(N)` deterministic hyperplanes;
-    * candidates = vectors sharing a bucket with the query in any table
-    * under MULTIPROBE (the query probes its bucket plus all Hamming-1
-    * neighbors, recovering recall lost to narrow buckets). Exact cosine +
-    * top-k only over candidates. */
-  def annLshTopK(s: SparkSession, e0: DataFrame, k: Int): DataFrame = {
+  /** Shared LSH bucketing pipeline: (vec_id, table, bucket) rows for
+    * every vector under `LshTables` tables of `lshBits(count)` planes —
+    * ONE definition for annLshTopK and dedupEmbeddingPairs (plane
+    * derivation or bucket width changed in a single copy would silently
+    * break Spark/oracle agreement on the other op). Returns the bucketed
+    * frame plus the bit width (callers derive multiprobe masks from it). */
+  private def withLshBuckets(s: SparkSession, e: DataFrame): (DataFrame, Int) = {
     import s.implicits._
-    val e = e0.select(col("vec_id"), col("embedding"))
     val n = e.count()
     val bits = lshBits(n)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
@@ -598,6 +627,18 @@ object Ops {
       val ts = planesB.value
       ts.indices.map(t => (id, t, lshBucket(v, ts(t))))
     }.toDF("vec_id", "table", "bucket")
+    (withBucket, bits)
+  }
+
+  /** LSH-bucketed ANN: L tables of `lshBits(N)` deterministic hyperplanes;
+    * candidates = vectors sharing a bucket with the query in any table
+    * under MULTIPROBE (the query probes its bucket plus all Hamming-1
+    * neighbors, recovering recall lost to narrow buckets). Exact cosine +
+    * top-k only over candidates. */
+  def annLshTopK(s: SparkSession, e0: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val e = e0.select(col("vec_id"), col("embedding"))
+    val (withBucket, bits) = withLshBuckets(s, e)
     // multiprobe: bucket ⊕ {0, each single bit}
     val masks = (0L +: (0 until bits).map(1L << _)).toArray
     val qb = withBucket.filter(col("vec_id") < 5)
@@ -643,8 +684,7 @@ object Ops {
        |  WHERE c.vec_id <> p.qid),
        |cos AS (
        |  SELECT cd.qid, cd.vec_id,
-       |         round(list_dot_product(eq.v, ev.v) /
-       |               (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ev.v, ev.v))), 5) AS cos
+       |         round(${sqlCos("eq.v", "ev.v")}, 5) AS cos
        |  FROM cand cd JOIN e eq ON eq.vec_id = cd.qid JOIN e ev ON ev.vec_id = cd.vec_id),
        |rk AS (SELECT qid, vec_id, cos,
        |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cos)
@@ -688,7 +728,12 @@ object Ops {
       val vj = v(j).toDouble
       dot += c(j) * vj; nc += c(j) * c(j); nv += vj * vj; j += 1
     }
-    dot / (math.sqrt(nc) * math.sqrt(nv))
+    // zero-norm → 0, never NaN (same convention as sqlCos and the native
+    // expression): NaN's all-comparisons-false would leave the IVF
+    // assignment loop at cid=Long.MaxValue — a list no probe reaches, so
+    // zero-norm vectors would silently become unretrievable
+    val denom = math.sqrt(nc) * math.sqrt(nv)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** IVF ANN: the coarse quantizer is nlist deterministic hash-sampled
@@ -751,8 +796,7 @@ object Ops {
     * LSH planes nothing is baked — the oracle re-derives the SAME sampled
     * centroids from the data via the shared integer key. */
   private[ops] def ivfOracleSql(nlist: Int, nprobe: Int): String = {
-    val cosExpr = "list_dot_product(c.cv, e.v) / " +
-      "(sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(e.v, e.v)))"
+    val cosExpr = sqlCos("c.cv", "e.v")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (
        |  SELECT vec_id AS cid, v AS cv FROM e
@@ -774,8 +818,7 @@ object Ops {
        |  WHERE a.vec_id <> p.qid),
        |cos AS (
        |  SELECT cd.qid, cd.vec_id,
-       |         round(list_dot_product(eq.v, ev.v) /
-       |               (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ev.v, ev.v))), 5) AS cos
+       |         round(${sqlCos("eq.v", "ev.v")}, 5) AS cos
        |  FROM cand cd JOIN e eq ON eq.vec_id = cd.qid JOIN e ev ON ev.vec_id = cd.vec_id),
        |rk AS (SELECT qid, vec_id, cos,
        |       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cos)
@@ -798,16 +841,7 @@ object Ops {
   def dedupEmbeddingPairs(s: SparkSession, e0: DataFrame, tau: Double, k: Int): DataFrame = {
     import s.implicits._
     val e = e0.select(col("vec_id"), col("embedding"))
-    val n = e.count()
-    val bits = lshBits(n)
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
-    val planes: Array[Array[Array[Double]]] =
-      Array.tabulate(LshTables, bits, dim)((t, p, j) => lshSign(t, p, j))
-    val planesB = s.sparkContext.broadcast(planes)
-    val withBucket = e.as[(Long, Seq[Float])].flatMap { case (id, v) =>
-      val ts = planesB.value
-      ts.indices.map(t => (id, t, lshBucket(v, ts(t))))
-    }.toDF("vec_id", "table", "bucket")
+    val (withBucket, _) = withLshBuckets(s, e)
     val cand = withBucket.as("x").join(withBucket.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -839,8 +873,7 @@ object Ops {
        |  FROM b x JOIN b y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id),
        |cos AS (
        |  SELECT c.a, c.b,
-       |         round(list_dot_product(ea.v, eb.v) /
-       |               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 5) AS cos
+       |         round(${sqlCos("ea.v", "eb.v")}, 5) AS cos
        |  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b)
        |SELECT a, b, cos FROM cos WHERE cos >= $tau ORDER BY cos DESC, a, b LIMIT $k""".stripMargin
   }
@@ -937,8 +970,14 @@ object Ops {
     * exercises the fallback branch; MediaSpec feeds real generated PNGs
     * through the same functions and checks true dimensions and pixels. */
   private[ops] def mediaDims(bytes: Array[Byte]): (Int, Int) =
+    mediaDims(bytes, java.security.MessageDigest.getInstance("MD5"))
+
+  /** md is hoisted per PARTITION by the dataset kernels below — a JCA
+    * provider lookup per row is measurable at corpus scale (the in-file
+    * precedent is minhashSig/simhash); digest() resets the instance. */
+  private[ops] def mediaDims(bytes: Array[Byte], md: java.security.MessageDigest): (Int, Int) =
     graft.media.ImageCodec.decodeDims(bytes).getOrElse {
-      val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val h = md.digest(bytes)
       (1 + ((h(0) & 0xFF) % 64), 1 + ((h(1) & 0xFF) % 64))
     }
 
@@ -946,10 +985,10 @@ object Ops {
   def binaryMeta(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { case (id, bytes) =>
-        val (w, h) = mediaDims(bytes)
-        val fp = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-          .take(4).map("%02x".format(_)).mkString
+        val (w, h) = mediaDims(bytes, md)
+        val fp = md.digest(bytes).take(4).map("%02x".format(_)).mkString
         (id, bytes.length.toLong, w, h, fp)
       }
     }.toDF("doc_id", "n_bytes", "width", "height", "magic")
@@ -959,8 +998,9 @@ object Ops {
   def resizeDims(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { case (id, bytes) =>
-        val (w, h) = mediaDims(bytes)
+        val (w, h) = mediaDims(bytes, md)
         val (nw, nh) = graft.media.ImageCodec.fitBox(w, h, 32)
         (id, w, h, nw, nh)
       }
@@ -1010,18 +1050,22 @@ object Ops {
     * is text, so the driver oracle exercises the fallback; MediaSpec runs
     * a generated WAV through the same kernel. */
   def audioMetaOf(bytes: Array[Byte]): (Int, Int, Long) =
+    audioMetaOf(bytes, java.security.MessageDigest.getInstance("MD5"))
+
+  def audioMetaOf(bytes: Array[Byte], md: java.security.MessageDigest): (Int, Int, Long) =
     graft.media.AudioCodec.decodeMeta(bytes) match {
       case Some(m) => (m.sampleRate.toInt, m.channels, m.frames)
       case None =>
-        val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        val h = md.digest(bytes)
         (8000 * (1 + ((h(0) & 0xFF) % 6)), 1 + ((h(1) & 0xFF) % 2), bytes.length.toLong / 4)
     }
 
   def audioMeta(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { case (id, bytes) =>
-        val (rate, ch, frames) = audioMetaOf(bytes)
+        val (rate, ch, frames) = audioMetaOf(bytes, md)
         (id, rate, ch, frames)
       }
     }.toDF("doc_id", "sample_rate", "channels", "frames")
@@ -1048,7 +1092,11 @@ object Ops {
     * fallback frames for everything else (the sf corpus is text, so the
     * driver oracle exercises the fallback; MediaSpec feeds a real
     * animated GIF through the same kernel). */
-  def frameSamples(bytes: Array[Byte], k: Int): Seq[(Long, Long, String)] = {
+  def frameSamples(bytes: Array[Byte], k: Int): Seq[(Long, Long, String)] =
+    frameSamples(bytes, k, java.security.MessageDigest.getInstance("MD5"))
+
+  def frameSamples(bytes: Array[Byte], k: Int,
+                   md: java.security.MessageDigest): Seq[(Long, Long, String)] = {
     val gif = graft.media.ImageCodec.gifFrames(bytes)
     if (gif.nonEmpty)
       (0 until k).flatMap { f =>
@@ -1064,7 +1112,7 @@ object Ops {
         if (off >= n) None
         else {
           val end = math.min(n, off + 16)
-          val md = java.security.MessageDigest.getInstance("MD5")
+          md.reset()
           md.update(bytes, off, end - off)
           Some((f.toLong, off.toLong,
             md.digest().take(4).map("%02x".format(_)).mkString))
@@ -1084,8 +1132,11 @@ object Ops {
       val payloads = docs(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
-      val frames = payloads.flatMap { case (id, bytes) =>
-        frameSamples(bytes, k).map { case (f, off, fp) => (id, f, off, fp) }
+      val frames = payloads.mapPartitions { batch =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.flatMap { case (id, bytes) =>
+          frameSamples(bytes, k, md).map { case (f, off, fp) => (id, f, off, fp) }
+        }
       }
       frames.toDF("doc_id", "frame", "off", "frame_fp").orderBy("doc_id", "frame")
     },

@@ -324,6 +324,28 @@ class SurfaceSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("array<float>"))
   }
 
+  test("cosine edge semantics: zero-norm -> 0.0 (never NaN); null element -> NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    graft.functions.CosineSimilarity.register(spark)
+    // zero-norm operand: NaN would sort GREATEST under ORDER BY cos DESC
+    // in both Spark and DuckDB, making a zero embedding the rank-1
+    // neighbor of every query — the convention is 0.0 ("orthogonal")
+    val z = Seq((Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)), (Seq.empty[Float], Seq(1f)))
+      .toDF("qv", "embedding")
+      .select(expr("graft_cosine(qv, embedding)")).as[Double].collect()
+    assert(z.toSeq == Seq(0.0, 0.0), s"zero-norm cosine must be 0.0, got ${z.toSeq}")
+    // a null ELEMENT propagates NULL (reading the slot is undefined)
+    val withNull = Seq((Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
+      .toDF("qv", "embedding")
+      .select(expr("graft_cosine(qv, embedding)")).collect()
+    assert(withNull.head.isNullAt(0), "null element must propagate NULL")
+    // interpreted path agrees with codegen (same shared kernel)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0.0f, 0.0f))
+    val one = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0f, 1.0f))
+    assert(graft.functions.CosineSimilarity.cosine(arr, one) == 0.0)
+  }
+
   test("posting blocks sub-split at the doc cap; decode is equivalent") {
     import graft.spark.{IndexBuilder, TermDocRow}
     val rows = (0 until 10).map(d => TermDocRow("hot", 1, d.toLong, 2, 50L,
