@@ -28,6 +28,11 @@ object ConsoleRepl {
 
   def isSubmit(ch: Char): Boolean = ch == '\r' || ch == '\n'
 
+  /** Ctrl-D: raw mode disables VEOF processing, so EOF arrives as the raw
+    * byte 0x04 — without this the raw-tty loop has NO normal exit path
+    * (in.read() never returns -1 on a live tty). */
+  def isEot(ch: Char): Boolean = ch == 4.toChar
+
   /** the suggestion block for a buffer: each line is buffer+completion,
     * like the reference's `res+ss` rendering. */
   def renderSuggestions(buf: String, suggest: String => Seq[String]): Seq[String] =
@@ -37,18 +42,40 @@ object ConsoleRepl {
   /** Run one interactive session: keystrokes from `in`, rendering to `out`,
     * `suggest` for completions, `search` on submit. `rawTty` controls
     * whether ANSI cursor control is emitted (true on a real terminal). Runs
-    * until EOF. Returns the number of searches executed. */
+    * until EOF (or Ctrl-D in raw mode). Returns the number of searches
+    * executed.
+    *
+    * Input is decoded as UTF-8 CHARACTERS, not bytes: raw mode delivers
+    * multi-byte sequences (Cyrillic queries against a --voc ru index) one
+    * byte at a time, and byte-wise handling would append mojibake and make
+    * backspace remove partial code points. ANSI escape sequences (arrow
+    * keys etc.) are consumed whole so their printable tail bytes never
+    * leak into the buffer. */
   def loop(in: java.io.InputStream, out: java.io.PrintStream,
            suggest: String => Seq[String],
            search: String => SearchOut,
            rawTty: Boolean): Int = {
+    val reader = new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)
     var buf = ""
     var searches = 0
+    var lastSugg = 0 // suggestion lines currently on screen (raw mode)
     out.print("> ")
-    var c = in.read()
-    while (c >= 0) {
+    var c = reader.read()
+    var stop = false
+    while (c >= 0 && !stop) {
       val ch = c.toChar
-      if (isSubmit(ch)) {
+      if (isEot(ch)) stop = true
+      else if (ch == 27.toChar) {
+        // swallow the escape sequence: CSI (ESC '[' ... final 0x40-0x7E)
+        // or a two-char sequence (ESC x) — otherwise '[A' of an
+        // arrow-key press lands in the search buffer
+        val n1 = reader.read()
+        if (n1 == '['.toInt) {
+          var fin = reader.read()
+          while (fin >= 0 && (fin < 0x40 || fin > 0x7e)) fin = reader.read()
+        }
+      } else if (isSubmit(ch)) {
+        if (rawTty && lastSugg > 0) { out.print("\u001b[0J"); lastSugg = 0 }
         if (buf.nonEmpty) {
           out.println()
           val res = search(buf)
@@ -63,19 +90,25 @@ object ConsoleRepl {
       } else {
         buf = step(buf, ch)
         if (rawTty) {
-          // redraw prompt line + suggestion block (ANSI: clear below cursor)
-          out.print("\u001b[s\u001b[0J")
+          // Redraw: prompt line in place, suggestions below, then cursor
+          // moved back UP by the number of lines actually printed — NOT
+          // ESC[s/ESC[u save/restore, whose absolute position breaks when
+          // the suggestion block scrolls the viewport at the bottom row.
+          out.print("\r\u001b[2K> " + buf)
+          out.print("\u001b[0J")
           val sugg = renderSuggestions(buf, suggest)
           sugg.foreach(s => out.print(s"\n\u001b[90m$s\u001b[0m"))
-          out.print("\u001b[u")
-          out.print("\r\u001b[2K> " + buf)
+          if (sugg.nonEmpty) out.print(s"\u001b[${sugg.size}A")
+          // re-place the cursor at the end of the prompt line
+          out.print("\r\u001b[" + (2 + buf.length) + "G")
+          lastSugg = sugg.size
         } else {
           // pipe mode: print suggestions once per keystroke, plainly
           val sugg = renderSuggestions(buf, suggest)
           if (sugg.nonEmpty) out.println(sugg.mkString("[", " | ", "]"))
         }
       }
-      c = in.read()
+      if (!stop) c = reader.read()
     }
     out.println()
     searches
@@ -84,13 +117,20 @@ object ConsoleRepl {
   /** wire the loop to a SparkSearcher on the current terminal. */
   def run(searcher: graft.spark.SparkSearcher): Unit = {
     val tty = System.console() != null
-    if (tty) sttyRaw(true)
+    // restore the terminal even on SIGINT: Ctrl-C (isig stays enabled in
+    // -icanon) kills the JVM without running the finally below, which
+    // would leave the user's shell with echo off
+    val hook = new Thread(() => sttyRaw(false))
+    if (tty) { sttyRaw(true); Runtime.getRuntime.addShutdownHook(hook) }
     try {
       loop(System.in, System.out,
         req => searcher.suggest(req, MaxSuggestions),
         req => searcher.search(req, SearchOptions()),
         rawTty = tty)
-    } finally if (tty) sttyRaw(false)
+    } finally if (tty) {
+      sttyRaw(false)
+      try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => () }
+    }
   }
 
   private def sttyRaw(enable: Boolean): Unit = {

@@ -118,6 +118,10 @@ object Main {
       crawlWork = rest.sliding(2).collectFirst {
         case List("--work-dir", d) => d
       }
+      var nWeb = 0 // distinct staging subdir per web source: two crawls
+                   // sharing one --work-dir would overwrite each other's
+                   // fetched-* parquet BEFORE the lazy union materializes
+                   // (the first source would silently read the second's rows)
       while (r.nonEmpty) r match {
         case "--work-dir" :: d :: t => crawlWork = Some(d); r = t
         case "--source" :: spec :: t =>
@@ -129,8 +133,9 @@ object Main {
             case "web" =>
               val c = graft.sources.WebCrawler.Config(
                 indexTypes = if (parts.length > 2) parts(2) else "")
+              nWeb += 1
               graft.sources.WebCrawler.pages(spark, parts(1),
-                crawlWork.getOrElse(
+                crawlWork.map(d => s"$d/src-$nWeb").getOrElse(
                   java.nio.file.Files.createTempDirectory("graft-crawl").toString), c)
             case "db" =>
               val p = new java.util.Properties()
@@ -164,6 +169,10 @@ object Main {
       spark.stop()
 
     case "append" :: pages :: indexDir :: rest =>
+      // appends inherit the INDEX's persisted analyzer/pagination, so there
+      // are no tunable flags here — but a typo'd/unsupported option must
+      // not pass silently (the user would believe it took effect)
+      rest.foreach(o => System.err.println(s"unknown option $o (append takes none)"))
       val spark = session()
       val batchId = IndexStore.readStageDetail(indexDir, "stream", "lastBatchId")
         .map(_.toLong + 1).getOrElse(0L)
@@ -263,7 +272,8 @@ object Main {
     case "console" :: indexDir :: Nil =>
       // interactive search with per-keystroke autocomplete (Program.cs:268)
       val spark = session()
-      ConsoleRepl.run(searcher(spark, indexDir))
+      try ConsoleRepl.run(searcher(spark, indexDir))
+      finally spark.stop() // scripted/piped stdin reaches EOF and returns
 
     case "serve" :: indexDir :: rest =>
       val spark = session()

@@ -23,107 +23,84 @@ object Server {
     case c => c.toString
   } + "\""
 
+  /** JSON number: NaN/Infinity are not valid JSON — emit null (a
+    * standards-compliant client would otherwise fail to parse the WHOLE
+    * response over one degenerate score). */
+  private def jnum(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
+
   def toJson(out: SearchOut): String = {
     val docs = out.docs.map { d =>
       val pages = d.pages.map { p =>
-        s"""{"id": ${jstr(p.pageId)}, "rank": ${p.rank}, "pos": [${p.pos.mkString(",")}], "text": ${jstr(p.text)}}"""
+        s"""{"id": ${jstr(p.pageId)}, "rank": ${jnum(p.rank)}, "pos": [${p.pos.mkString(",")}], "text": ${jstr(p.text)}}"""
       }.mkString("[", ",", "]")
       val headers = d.headers.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
-      s"""{"docId": ${d.docId}, "name": ${jstr(d.name)}, "rank": ${d.rank}, "bm25": ${d.bm25}, "summary": ${jstr(d.summary)}, "headers": $headers, "foundWords": [${d.foundWords.map(jstr).mkString(",")}], "pages": $pages}"""
+      s"""{"docId": ${d.docId}, "name": ${jstr(d.name)}, "rank": ${jnum(d.rank)}, "bm25": ${jnum(d.bm25)}, "summary": ${jstr(d.summary)}, "headers": $headers, "foundWords": [${d.foundWords.map(jstr).mkString(",")}], "pages": $pages}"""
     }.mkString("[", ",", "]")
     s"""{"found": ${out.docs.size}, "foundPages": ${out.nFoundPages}, "words": [${out.words.map(w => s"""{"word": ${jstr(w.word)}, "nFound": ${w.nFound}}""").mkString(",")}], "result": $docs}"""
   }
 
+  /** Shared endpoint wrapper: parse the query string, run the handler,
+    * send (status, json). Status codes are REAL — 400 for missing/
+    * malformed parameters (NumberFormatException is an
+    * IllegalArgumentException), 500 for internal failures — so standard
+    * clients (curl -f, load-balancer health checks) can detect errors
+    * without parsing bodies; previously every error went out as 200. */
+  private def endpoint(f: Map[String, String] => (Int, String)): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (status, resp) =
+          try {
+            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            val params = q.split('&').iterator.map(_.split("=", 2))
+              .collect { case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
+            f(params)
+          } catch {
+            case e: IllegalArgumentException =>
+              (400, s"""{"error": ${jstr(String.valueOf(e.getMessage))}}""")
+            case e: Throwable =>
+              (500, s"""{"error": ${jstr(String.valueOf(e.getMessage))}}""")
+          }
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
+        ex.sendResponseHeaders(status, bytes.length)
+        val os = ex.getResponseBody
+        os.write(bytes)
+        os.close()
+      }
+    }
+
+  private val missingReq = (400, """{"error": "missing req parameter"}""")
+
   def serve(searcher: SparkSearcher, port: Int, block: Boolean): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/search", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val resp =
-          try {
-            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-            val params = q.split('&').iterator.map(_.split("=", 2))
-              .collect { case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
-            params.get("req") match {
-              case Some(req) =>
-                val dist = params.get("dist").map(_.toInt).getOrElse(graft.core.Consts.DefaultDist)
-                toJson(searcher.search(req, SearchOptions(dist = dist)))
-              case None => """{"error": "missing req parameter"}"""
-            }
-          } catch {
-            case e: Throwable => s"""{"error": ${jstr(String.valueOf(e.getMessage))}}"""
-          }
-        val bytes = resp.getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
-        ex.sendResponseHeaders(200, bytes.length)
-        val os = ex.getResponseBody
-        os.write(bytes)
-        os.close()
+    server.createContext("/search", endpoint { params =>
+      params.get("req") match {
+        case Some(req) =>
+          val dist = params.get("dist").map(_.toInt).getOrElse(graft.core.Consts.DefaultDist)
+          (200, toJson(searcher.search(req, SearchOptions(dist = dist))))
+        case None => missingReq
       }
     })
-    server.createContext("/suggest", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val resp =
-          try {
-            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-            val req = q.split('&').iterator.map(_.split("=", 2))
-              .collectFirst { case Array("req", v) => java.net.URLDecoder.decode(v, "UTF-8") }.getOrElse("")
-            searcher.suggest(req).map(jstr).mkString("[", ",", "]")
-          } catch {
-            case e: Throwable => s"""{"error": ${jstr(String.valueOf(e.getMessage))}}"""
-          }
-        val bytes = resp.getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
-        ex.sendResponseHeaders(200, bytes.length)
-        val os = ex.getResponseBody
-        os.write(bytes)
-        os.close()
+    server.createContext("/suggest", endpoint { params =>
+      val req = params.getOrElse("req", "")
+      (200, searcher.suggest(req).map(jstr).mkString("[", ",", "]"))
+    })
+    server.createContext("/bm25", endpoint { params =>
+      params.get("req") match {
+        case Some(req) =>
+          val k = params.get("k").map(_.toInt).getOrElse(10)
+          val words = req.split("\\s+").toSeq.filter(_.nonEmpty)
+          val top = searcher.bm25TopK(words, k)
+          (200, top.map { case (d, sc) => s"""{"docId": $d, "score": ${jnum(sc)}}""" }
+            .mkString("[", ",", "]"))
+        case None => missingReq
       }
     })
-    server.createContext("/bm25", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val resp =
-          try {
-            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-            val params = q.split('&').iterator.map(_.split("=", 2))
-              .collect { case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
-            params.get("req") match {
-              case Some(req) =>
-                val k = params.get("k").map(_.toInt).getOrElse(10)
-                val words = req.split("\\s+").toSeq.filter(_.nonEmpty)
-                val top = searcher.bm25TopK(words, k)
-                top.map { case (d, s) => s"""{"docId": $d, "score": $s}""" }
-                  .mkString("[", ",", "]")
-              case None => """{"error": "missing req parameter"}"""
-            }
-          } catch {
-            case e: Throwable => s"""{"error": ${jstr(String.valueOf(e.getMessage))}}"""
-          }
-        val bytes = resp.getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
-        ex.sendResponseHeaders(200, bytes.length)
-        val os = ex.getResponseBody
-        os.write(bytes)
-        os.close()
-      }
-    })
-    server.createContext("/close", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val resp =
-          try {
-            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-            val req = q.split('&').iterator.map(_.split("=", 2))
-              .collectFirst { case Array("req", v) => java.net.URLDecoder.decode(v, "UTF-8") }.getOrElse("")
-            if (req.isEmpty) """{"error": "missing req parameter"}"""
-            else searcher.closeWords(req).map(jstr).mkString("[", ",", "]")
-          } catch {
-            case e: Throwable => s"""{"error": ${jstr(String.valueOf(e.getMessage))}}"""
-          }
-        val bytes = resp.getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
-        ex.sendResponseHeaders(200, bytes.length)
-        val os = ex.getResponseBody
-        os.write(bytes)
-        os.close()
+    server.createContext("/close", endpoint { params =>
+      params.get("req").filter(_.nonEmpty) match {
+        case Some(req) => (200, searcher.closeWords(req).map(jstr).mkString("[", ",", "]"))
+        case None => missingReq
       }
     })
     server.start()

@@ -82,9 +82,17 @@ class SurfaceSpec extends AnyFunSuite {
     val server = Server.serve(sr, 0, block = false) // port 0 = ephemeral
     try {
       val port = server.getAddress.getPort
-      def get(path: String): String = {
+      def getWithCode(path: String): (Int, String) = {
         val c = new java.net.URL(s"http://127.0.0.1:$port$path").openConnection()
-        scala.io.Source.fromInputStream(c.getInputStream, "UTF-8").mkString
+          .asInstanceOf[java.net.HttpURLConnection]
+        val code = c.getResponseCode
+        val is = if (code >= 400) c.getErrorStream else c.getInputStream
+        (code, scala.io.Source.fromInputStream(is, "UTF-8").mkString)
+      }
+      def get(path: String): String = {
+        val (code, body) = getWithCode(path)
+        assert(code == 200, s"$path -> $code: ${body.take(120)}")
+        body
       }
       val res = get("/search?req=" + java.net.URLEncoder.encode("\"old lady\"", "UTF-8") + "&dist=40")
       assert(res.contains("\"found\":") && !res.contains("\"found\": 0"), res.take(200))
@@ -95,12 +103,17 @@ class SurfaceSpec extends AnyFunSuite {
       assert(bm.contains("\"docId\"") && bm.contains("\"score\""), bm.take(200))
       val close = get("/close?req=lafy")
       assert(close.contains("lady"), close.take(200))
-      val err = get("/search?nope=1")
-      assert(err.contains("error"), err)
-      // malformed/missing input returns a JSON error instead of hanging
-      // the exchange (every handler wraps in the same try/catch)
-      assert(get("/close?nope=1").contains("error"))
-      assert(get("/bm25?nope=1").contains("error"))
+      // missing/malformed input returns a REAL error status + JSON body
+      // (a 200 error body defeats curl -f / health checks)
+      def expect400(path: String): Unit = {
+        val (code, body) = getWithCode(path)
+        assert(code == 400, s"$path -> $code (want 400)")
+        assert(body.contains("error"), body.take(120))
+      }
+      expect400("/search?nope=1")
+      expect400("/search?req=x&dist=abc")
+      expect400("/close?nope=1")
+      expect400("/bm25?nope=1")
       assert(get("/suggest?req=" + java.net.URLEncoder.encode("?", "UTF-8")).startsWith("["))
     } finally server.stop(0)
   }
