@@ -66,13 +66,16 @@ object ConsoleRepl {
       val ch = c.toChar
       if (isEot(ch)) stop = true
       else if (ch == 27.toChar) {
-        // swallow the escape sequence: CSI (ESC '[' ... final 0x40-0x7E)
-        // or a two-char sequence (ESC x) — otherwise '[A' of an
-        // arrow-key press lands in the search buffer
+        // swallow the escape sequence: CSI (ESC '[' ... final 0x40-0x7E),
+        // SS3 (ESC 'O' final — application-cursor-mode arrows send
+        // ESC O A, whose 'A' would otherwise land in the search buffer),
+        // or a two-char sequence (ESC x)
         val n1 = reader.read()
         if (n1 == '['.toInt) {
           var fin = reader.read()
           while (fin >= 0 && (fin < 0x40 || fin > 0x7e)) fin = reader.read()
+        } else if (n1 == 'O'.toInt) {
+          reader.read()
         }
       } else if (isSubmit(ch)) {
         if (rawTty && lastSugg > 0) { out.print("\u001b[0J"); lastSugg = 0 }

@@ -69,6 +69,18 @@ object Ops {
   private def tokArr = expr(
     s"filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32)")
 
+  /** Scale-adaptive parallelism for CPU-heavy per-row kernels (guide §2):
+    * a small corpus arrives as ONE parquet split, so a mapPartitions
+    * kernel (minhash/simhash md5, IVF assignment) runs single-threaded
+    * while every other core idles. Spread it round-robin only when the
+    * scan yields fewer partitions than cores; at real scale the input
+    * already has ≫cores splits and this adds NO exchange. */
+  private def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val p = df.rdd.getNumPartitions
+    if (p > 0 && p < cores) df.repartition(cores) else df
+  }
+
   /** Strict-'>' argmax over per-language score columns (first language in
     * `langs` order wins ties) — ONE definition for both language-ID ops:
     * the tie-break is golden-pinned and a fix applied to a single copy
@@ -81,10 +93,19 @@ object Ops {
 
   val qualityScore = Op("quality_score",
     (s, dir) => {
-      val nt = size(tokArr)
       val stopList = stopSet.map(w => s"'$w'").mkString(", ")
+      // Tokenize ONCE: the single-projection form embedded the tokenize
+      // regex in four sibling expressions (n_tok, avg_len numerator,
+      // stop_ratio filter, each `when` guard) — a two-step projection
+      // materializes the token array per row and every stat reads the
+      // alias (Catalyst keeps the split: CollapseProject refuses to
+      // duplicate non-cheap expressions). Same values bit-for-bit; noop
+      // sink 1.13 s → see OPTIMIZATION_r06.md.
+      val nt = size(col("toks"))
       // NULL stats for token-less docs, as the grouped form's LEFT JOIN gave
-      docs(s, dir).select(col("doc_id"), col("n_chars"),
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("text"), tokArr.as("toks"))
+        .select(col("doc_id"), col("n_chars"),
           // n_chars = 0 guard: Spark non-ANSI division yields NULL but
           // DuckDB's IEEE float ops yield inf/NaN — pin both engines to
           // NULL for an empty doc (see the matching CASE in the oracle)
@@ -93,10 +114,10 @@ object Ops {
               .cast("double") / col("n_chars"), 4)).as("punct_ratio"),
           when(nt > 0, nt.cast("long")).as("n_tok"),
           when(nt > 0, round(
-            expr(s"aggregate(transform(filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32), t -> length(t)), 0L, (acc, x) -> acc + x)")
+            expr("aggregate(transform(toks, t -> length(t)), 0L, (acc, x) -> acc + x)")
               .cast("double") / nt, 4)).as("avg_len"),
           when(nt > 0, round(
-            expr(s"size(filter(filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32), t -> t IN ($stopList)))")
+            expr(s"size(filter(toks, t -> t IN ($stopList)))")
               .cast("double") / nt, 4)).as("stop_ratio"))
         .orderBy("doc_id")
     },
@@ -122,12 +143,17 @@ object Ops {
       // scalar form of the grouped marker sums: per-language count over the
       // per-row token array — one projection, zero shuffles. The grouped
       // form dropped token-less docs (no rows to group), so filter n>0.
+      // Tokenize ONCE (same two-step-projection rationale as
+      // quality_score): the old form re-ran the tokenize regex per
+      // language column plus once more in the filter — 5× per row.
       val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
         val list = ws.map(w => s"'$w'").mkString(", ")
-        expr(s"size(filter(filter(regexp_extract_all(lower(text), '$TOKEN_RE_SQL', 0), t -> length(t) between 3 and 32), t -> t IN ($list)))")
+        expr(s"size(filter(toks, t -> t IN ($list)))")
           .cast("long").as(s"s_$lang")
       }
-      val scored = docs(s, dir).filter(size(tokArr) > 0)
+      val scored = docs(s, dir)
+        .select(col("doc_id"), tokArr.as("toks"))
+        .filter(size(col("toks")) > 0)
         .select((col("doc_id") +: scoreCols): _*)
       val withPred = scored.withColumn("pred", argmaxLang(markers.keys.toSeq.sorted))
       withPred.select(col("doc_id"), col("pred")).orderBy("doc_id")
@@ -167,12 +193,20 @@ object Ops {
     * signal); the argmax tie order matches lang_id (de<en<es<fr). */
   val langIdNgram = Op("lang_id_ngram",
     (s, dir) => {
-      val lt = lower(col("text"))
+      // lower(text) materialized ONCE (28 gram expressions read the
+      // alias), and literal substring deletion via `replace` instead of a
+      // Pattern.quote'd regexp_replace — the pattern was literal anyway,
+      // so the count is identical while skipping 28 regex-engine passes
+      // per row (the DuckDB oracle already uses replace()).
+      val lt = col("lt")
       def score(grams: Seq[String]) = grams.map { g =>
-        ((length(lt) - length(regexp_replace(lt, java.util.regex.Pattern.quote(g), ""))) / lit(g.length)).cast("long")
+        val gq = g.replace("'", "''")
+        ((length(lt) - length(expr(s"replace(lt, '$gq', '')"))) / lit(g.length)).cast("long")
       }.reduce(_ + _)
-      val scored = docs(s, dir).select(
-        (col("doc_id") +: ngramProfiles.map { case (l, gs) => score(gs).as(s"s_$l") }): _*)
+      val scored = docs(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .select(
+          (col("doc_id") +: ngramProfiles.map { case (l, gs) => score(gs).as(s"s_$l") }): _*)
       val pred = argmaxLang(ngramProfiles.map(_._1))
       scored.select(col("doc_id"), pred.as("pred")).orderBy("doc_id")
     },
@@ -267,7 +301,7 @@ object Ops {
   val minhashSig = Op("dedup_minhash_sig",
     (s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(docs(s, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { it =>
           val m = java.util.regex.Pattern.compile(TOKEN_RE).matcher("")
           val md = java.security.MessageDigest.getInstance("MD5")
@@ -342,7 +376,7 @@ object Ops {
   val simhash = Op("dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      spread(docs(s, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
         .mapPartitions { it =>
           val m = java.util.regex.Pattern.compile(TOKEN_RE).matcher("")
           val md = java.security.MessageDigest.getInstance("MD5")
@@ -623,7 +657,9 @@ object Ops {
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(LshTables, bits, dim)((t, p, j) => lshSign(t, p, j))
     val planesB = s.sparkContext.broadcast(planes)
-    val withBucket = e.as[(Long, Seq[Float])].flatMap { case (id, v) =>
+    // spread: the bucketing kernel is L·bits·dim mults per vector and a
+    // small corpus is one parquet split — see `spread` (no-op at scale)
+    val withBucket = spread(e).as[(Long, Seq[Float])].flatMap { case (id, v) =>
       val ts = planesB.value
       ts.indices.map(t => (id, t, lshBucket(v, ts(t))))
     }.toDF("vec_id", "table", "bucket")
@@ -756,7 +792,9 @@ object Ops {
       .takeOrdered(nlist)(Ordering.by(_._1))
       .map { case ((_, id), cv) => (id, cv) }
     val centB = s.sparkContext.broadcast(cents)
-    val asg = e.as[(Long, Seq[Float])].mapPartitions { it =>
+    // spread: assignment is N·nlist dot products and a small corpus is one
+    // parquet split — see `spread` (no-op at scale)
+    val asg = spread(e).as[(Long, Seq[Float])].mapPartitions { it =>
       val cs = centB.value
       it.map { case (id, v) =>
         var bestCid = Long.MaxValue; var bestCos = Double.NegativeInfinity

@@ -174,10 +174,29 @@ object IndexBuilder {
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism))
       .map((_, null))
     val partitioner = new org.apache.spark.RangePartitioner(parts, urls)
+    // Per-partition docId bases WITHOUT executing the url shuffle twice:
+    // zipWithIndex's internal count job re-ran the urls shuffle (map write
+    // + fetch + reduce-side SORT) just to learn per-partition element
+    // counts — but those counts are a pure function of the partitioner
+    // over the UNSORTED urls, so one narrow bucket-count pass over the
+    // already-coalesced urls scan replaces the whole extra shuffle
+    // execution (guide §2.4: remove shuffles outright).
+    val counts: Array[Long] = urls.mapPartitions { it =>
+      val c = new Array[Long](parts)
+      it.foreach { case (u, _) => c(partitioner.getPartition(u)) += 1 }
+      Iterator.single(c)
+    }.fold(new Array[Long](parts)) { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    val offsets: Array[Long] = counts.scanLeft(0L)(_ + _).toArray
     // ids: partition p holds exactly the sorted urls of payload partition p
     val ids = urls.repartitionAndSortWithinPartitions(partitioner)
-      .zipWithIndex()
-      .mapPartitions(_.map { case ((u, _), i) => (u, i) }, preservesPartitioning = true)
+      .mapPartitionsWithIndex({ (p, it) =>
+        var i = offsets(p)
+        it.map { case (u, _) => val r = (u, i); i += 1; r }
+      }, preservesPartitioning = true)
     val sortedPayload = extracted.repartitionAndSortWithinPartitions(partitioner)
     sortedPayload.zipPartitions(ids) { (pIt, idIt) =>
       pIt.zip(idIt).flatMap { case ((url, (hdr, body)), (idUrl, i)) =>

@@ -467,9 +467,39 @@ final class SparkSearcher(
 
   /** searchBatch's per-(request, dist) plan memo — see its scaladoc note.
     * Values are (immutable plan, df of its codes); snapshot-pinned by
-    * construction (one searcher = one snapshot). */
+    * construction (one searcher = one snapshot). BYTE-bounded LRU like
+    * [[textMemo]] (GRAFT_PLAN_CACHE_MB, default 64; 0 disables): the old
+    * count-capped CHM admission (100k entries) retained full QueryPlans —
+    * wildcard expansion can hold thousands of codes per leaf — so a
+    * diverse wildcard-heavy REST stream could pin an uneviction-able
+    * slice of driver heap (r5 ADVICE). Plans whose expanded code count
+    * exceeds `planMemoMaxCodes` are served but never memoized (one
+    * pathological query must not evict thousands of normal plans). */
   @transient private lazy val planMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (QueryPlan, Map[String, Long])]()
+    new java.util.LinkedHashMap[String, (QueryPlan, Map[String, Long])](1024, 0.75f, true)
+  @transient private var planMemoBytes = 0L
+  private val planMemoBudget: Long =
+    sys.env.get("GRAFT_PLAN_CACHE_MB").map(_.toLong << 20).getOrElse(64L << 20)
+  private val planMemoMaxCodes = 4096
+  private def planBytes(key: String, pl: QueryPlan, dfm: Map[String, Long]): Long =
+    2L * key.length + 256 +
+      pl.allCodes.iterator.map(c => 2L * c.length + 48L).sum +
+      dfm.keysIterator.map(c => 2L * c.length + 56L).sum
+  private def planMemoGet(key: String): (QueryPlan, Map[String, Long]) =
+    if (planMemoBudget <= 0) null
+    else planMemo.synchronized(planMemo.get(key))
+  private def planMemoPut(key: String, v: (QueryPlan, Map[String, Long])): Unit = {
+    if (planMemoBudget <= 0 || v._1.allCodes.length > planMemoMaxCodes) return
+    planMemo.synchronized {
+      if (planMemo.put(key, v) == null) planMemoBytes += planBytes(key, v._1, v._2)
+      val it = planMemo.entrySet().iterator()
+      while (planMemoBytes > planMemoBudget && it.hasNext) {
+        val e = it.next()
+        planMemoBytes -= planBytes(e.getKey, e.getValue._1, e.getValue._2)
+        it.remove()
+      }
+    }
+  }
 
   /** Driver-side LRU of snippet texts (docId → header/pages), snapshot-
     * pinned like [[planMemo]]: doc bodies are immutable under a snapshot,
@@ -851,7 +881,7 @@ final class SparkSearcher(
     // (restricting the union to misses is equivalent — a plan consults only
     // its own codes). Bounded admission guards unbounded REST query streams.
     val memoKeys = reqs.map { case (r, o) => r + " " + o.dist }
-    val memoHits = memoKeys.map(planMemo.get)
+    val memoHits = memoKeys.map(planMemoGet)
     val missIdx = memoHits.indices.filter(memoHits(_) == null)
     val plansAll = new Array[QueryPlan](reqs.length)
     val dfAll = mutable.HashMap.empty[String, Long]
@@ -885,7 +915,7 @@ final class SparkSearcher(
           pl.allCodes.iterator.map(c => c -> unionDf.getOrElse(c, 0L)).toMap
         plansAll(i) = pl
         dfAll ++= dfm
-        if (planMemo.size < 100000) planMemo.put(memoKeys(i), (pl, dfm))
+        planMemoPut(memoKeys(i), (pl, dfm))
       }
     }
     val plans: Seq[QueryPlan] =
@@ -1058,20 +1088,21 @@ final class SparkSearcher(
           hit
         }
         if (useShard) {
-          // positions come pre-decoded from the shard's per-term upgrade;
-          // the per-doc candidate mask still gates what enters byDoc
+          // positions via the shard's two-touch decode (foreachDecoded):
+          // the first batch touching a term decodes only ITS candidate
+          // docs straight off the encoded blocks — the bootstrap batch no
+          // longer pays every queried term's full position chains — and a
+          // second touch upgrades the term to the cached fully-decoded
+          // form that hot batches serve from. The per-doc candidate mask
+          // still gates what enters byDoc.
           var ci = 0
           while (ci < nCodes) {
             val term = codeArr(ci)
             if (src.shard.blocksOf(term).nonEmpty) {
               val want = wantWith(termMaskOf(term))
-              val dt = src.shard.decodedOf(term)
-              var i = 0
-              while (i < dt.docIds.length) {
-                val d = dt.docIds(i)
-                if (want(d))
-                  byDoc.getOrElseUpdate(d, new Array[Array[Long]](nCodes))(ci) = dt.coords(i)
-                i += 1
+              val cii = ci
+              src.shard.foreachDecoded(term, want) { (d, coords) =>
+                byDoc.getOrElseUpdate(d, new Array[Array[Long]](nCodes))(cii) = coords
               }
             }
             ci += 1
@@ -1146,10 +1177,17 @@ final class SparkSearcher(
           val q = ps(qi)
           // a query stays open for body rows until its prefix bound, and
           // for field collection until its field cap; wantInfo keeps every
-          // query open (per-leaf counts sum over every evaluated doc)
-          val bodyOpen = wantInfo || perQi(qi).length < compactBound
+          // query EVALUATED (per-leaf counts sum over every evaluated doc)
+          // but its perQi buffer is bounded at compactBound like the
+          // no-info path: ascending docId iteration makes the prefix
+          // exact — the emit stage can consume at most MaxFoundPages+1
+          // entries (each has ≥1 page hit), so entries past the bound
+          // could never be emitted, while an unbounded buffer let one
+          // broad word-info query over a large shard exhaust the executor
+          // heap (r5 ADVICE).
+          val bodyOpen = perQi(qi).length < compactBound
           val fieldOpen = wantField(qi) && fieldHits(qi).length < fieldCap
-          if (bodyOpen || fieldOpen) {
+          if (wantInfo || bodyOpen || fieldOpen) {
             if (wantInfo) {
               var li = 0
               while (li < q.leaves.length) {
@@ -1348,7 +1386,28 @@ final class SparkSearcher(
             }
           }
         if (missing.nonEmpty) {
-          val rows = docText.filter($"docId".isin(missing: _*)).collect()
+          // small miss sets ride an In-literal filter (pushes to the scan);
+          // past the threshold the In expression itself gets expensive to
+          // PLAN (tens of thousands of literal children), so big batches
+          // switch to a sargable docId range (parquet row-group pruning
+          // still applies — doctext is docId-clustered) plus a broadcast
+          // hash-set typed filter, whose plan size is O(1) in the miss
+          // count. Same rows either way (the range is a superset cut down
+          // by the exact set).
+          val inListMax = sys.props.getOrElse("graft.textFetchInListMax", "10000").toInt
+          val rows =
+            if (missing.length <= inListMax)
+              docText.filter($"docId".isin(missing: _*)).collect()
+            else {
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              missing.foreach { id => if (id < mn) mn = id; if (id > mx) mx = id }
+              val setB = spark.sparkContext.broadcast(missing.toSet)
+              val r = docText.filter($"docId" >= mn && $"docId" <= mx)
+                .filter((d: DocTextRow) => setB.value.contains(d.docId)).collect()
+              setB.unpersist(blocking = false)
+              r
+            }
           val pairs = new Array[(Long, ResultAssembler.Texts)](rows.length)
           java.util.stream.IntStream.range(0, rows.length).parallel().forEach { i =>
             val d = rows(i)

@@ -175,4 +175,59 @@ class BlockCacheSpec extends AnyFunSuite {
       BlockCache.clear()
     }
   }
+
+  test("two-touch position decode: selective, upgrading and decoded batches identical") {
+    // r6: the first batch touching a term decodes positions SELECTIVELY
+    // (bootstrap pays only its candidates), the second touch upgrades to
+    // the cached fully-decoded form, the third serves it — all three
+    // paths must be result-identical to each other and to the reference.
+    BlockCache.clear()
+    BlockCache.maxBytesOverride = Some(4096L << 20)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graftbc2t").toString
+      buildInto(dir, 150)
+      val searcher = new SparkSearcher(spark, dir, Analyzer())
+      val ref = memOf(150)
+      val b1 = searcher.searchBatch(queries, withWordInfo = false) // selective decode
+      val b2 = searcher.searchBatch(queries, withWordInfo = false) // upgrade touch
+      val b3 = searcher.searchBatch(queries, withWordInfo = false) // decoded-served
+      assert(canon(b2) == canon(b1), "upgrade batch diverged from selective batch")
+      assert(canon(b3) == canon(b1), "decoded batch diverged from selective batch")
+      assertVsRef(b3, ref, "two-touch")
+    } finally {
+      BlockCache.maxBytesOverride = None
+      BlockCache.clear()
+    }
+  }
+
+  test("text fetch past the In-list threshold: broadcast-set path identical") {
+    // r6: searchBatch's snippet-text fetch switches from an In-literal
+    // filter to a docId-range + broadcast hash-set filter past
+    // graft.textFetchInListMax ids (VERDICT #5); forcing the threshold to
+    // 0 must leave every result — snippets included — identical.
+    val dir = java.nio.file.Files.createTempDirectory("graftbctf").toString
+    buildInto(dir, 150)
+    val prev = sys.props.get("graft.textFetchInListMax")
+    try {
+      // separate searchers so the text LRU cannot mask the fetch path;
+      // text memo off via a 0-budget? keep default: use distinct searchers
+      sys.props.remove("graft.textFetchInListMax")
+      val sIn = new SparkSearcher(spark, dir, Analyzer())
+      val inList = sIn.searchBatch(queries, withWordInfo = false)
+      sys.props.put("graft.textFetchInListMax", "0")
+      val sBc = new SparkSearcher(spark, dir, Analyzer())
+      val bcast = sBc.searchBatch(queries, withWordInfo = false)
+      assert(canon(bcast) == canon(inList), "broadcast text-fetch path diverged")
+      inList.zip(bcast).foreach { case (a, b) =>
+        assert(a.docs.map(_.summary) == b.docs.map(_.summary), "summaries diverged")
+        assert(a.docs.map(_.pages.map(_.text)) == b.docs.map(_.pages.map(_.text)),
+          "snippet texts diverged")
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.textFetchInListMax", v)
+        case None => sys.props.remove("graft.textFetchInListMax")
+      }
+    }
+  }
 }

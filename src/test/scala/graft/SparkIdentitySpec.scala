@@ -146,6 +146,26 @@ class SparkIdentitySpec extends AnyFunSuite {
     } finally graft.core.Consts.MaxFoundPagesOverride = None
   }
 
+  test("searchBatch under cap pressure WITH word info: bounded buffer ≡ single path") {
+    // r6: the wantInfo eval loop bounds perQi at compactBound like the
+    // no-info path (the r5-ADVICE unbounded-buffer fix). Under a shrunken
+    // page cap the bound FIRES on this fixture; per-leaf word counts must
+    // still sum over EVERY evaluated doc and doc/page results must match
+    // the single-query path (an independent eval implementation).
+    val reqs = goldenQueries.take(8)
+    graft.core.Consts.MaxFoundPagesOverride = Some(5)
+    try {
+      val batch = searcher.searchBatch(reqs, withWordInfo = true)
+      reqs.zip(batch).foreach { case ((q, opt), b) =>
+        val a = searcher.search(q, opt, withWordInfo = true)
+        assert(a.nFoundPages == b.nFoundPages, s"[$q] capped nFoundPages")
+        assert(a.docs.map(_.docId) == b.docs.map(_.docId), s"[$q] capped docIds")
+        assert(a.words.map(w => (w.word, w.nFound)) ==
+          b.words.map(w => (w.word, w.nFound)), s"[$q] word info under cap")
+      }
+    } finally graft.core.Consts.MaxFoundPagesOverride = None
+  }
+
   test("forced eval spill: no-word-info results identical, rows round-trip") {
     // round-trip unit check of the spill codec first
     val buf = new graft.spark.BlockSpillBuffer(maxBytes = 1)

@@ -114,7 +114,87 @@ class SurfaceSpec extends AnyFunSuite {
       expect400("/search?req=x&dist=abc")
       expect400("/close?nope=1")
       expect400("/bm25?nope=1")
+      expect400("/bm25?req=old&k=zz")
       assert(get("/suggest?req=" + java.net.URLEncoder.encode("?", "UTF-8")).startsWith("["))
+    } finally server.stop(0)
+  }
+
+  test("REST server: concurrent dispatch — suggests are not stalled behind searches") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsrvc").toString
+    val pages = graft.fixtures.PagesGen.pages(spark, 120, parts = 3)
+    IndexBuilder.build(spark, pages.toDF(), dir, IndexBuilder.BuildConfig(bucketBits = 3))
+    val sr = new SparkSearcher(spark, dir, Analyzer())
+    val server = Server.serve(sr, 0, block = false)
+    try {
+      // structural pin: handlers run on a bounded worker pool, not the
+      // dispatcher thread (reference parity: server.cs:38-41 one worker
+      // per client; single-threaded dispatch stalls /suggest behind a
+      // slow /search)
+      val exec = server.getExecutor
+      assert(exec.isInstanceOf[java.util.concurrent.ThreadPoolExecutor],
+        s"expected a thread pool executor, got $exec")
+      assert(exec.asInstanceOf[java.util.concurrent.ThreadPoolExecutor].getCorePoolSize >= 2)
+
+      val port = server.getAddress.getPort
+      def get(path: String): String = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port$path").openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        assert(c.getResponseCode == 200, path)
+        scala.io.Source.fromInputStream(c.getInputStream, "UTF-8").mkString
+      }
+      val searchPaths = Seq("\"old lady\"", "lady old", "and (tupman|old)", "merriment laughter")
+        .map(q => "/search?req=" + java.net.URLEncoder.encode(q, "UTF-8") + "&dist=40")
+      // sequential reference responses (also warms plans/caches so the
+      // concurrent round measures dispatch, not bootstrap)
+      val seqSearch = searchPaths.map(get)
+      val seqSuggest = get("/suggest?req=lad")
+
+      // overlap: the searches launch Spark jobs (tens to hundreds of ms);
+      // suggests fired while they are in flight must complete before the
+      // LAST search does — with single-threaded dispatch they would queue
+      // behind every search accepted ahead of them.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(searchPaths.length + 1)
+      try {
+        val searchF = searchPaths.map(p =>
+          pool.submit(new java.util.concurrent.Callable[String] { def call(): String = get(p) }))
+        val doneSuggest = new java.util.concurrent.atomic.AtomicLong(0)
+        val suggestF = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = {
+            val r = (0 until 10).map(_ => get("/suggest?req=lad"))
+            doneSuggest.set(System.nanoTime())
+            r
+          }
+        })
+        val sugg = suggestF.get(60, java.util.concurrent.TimeUnit.SECONDS)
+        val tSuggestDone = doneSuggest.get()
+        val concSearch = searchF.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        val tSearchesDone = System.nanoTime()
+        assert(sugg.forall(_ == seqSuggest), "concurrent suggest diverged from sequential")
+        assert(concSearch == seqSearch, "concurrent search diverged from sequential")
+        assert(tSuggestDone <= tSearchesDone,
+          "suggests finished only after every search completed — dispatch is serialized")
+      } finally pool.shutdownNow()
+    } finally server.stop(0)
+  }
+
+  test("REST server: unparseable request syntax is a 400, invariants stay 500") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsrv4").toString
+    val pages = graft.fixtures.PagesGen.pages(spark, 40, parts = 2)
+    IndexBuilder.build(spark, pages.toDF(), dir, IndexBuilder.BuildConfig(bucketBits = 3))
+    val sr = new SparkSearcher(spark, dir, Analyzer())
+    val server = Server.serve(sr, 0, block = false)
+    try {
+      val port = server.getAddress.getPort
+      def code(path: String): Int = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port$path").openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.getResponseCode
+      }
+      // garbage queries the parser tolerates (reference regex-strips) → 200
+      assert(code("/search?req=" + java.net.URLEncoder.encode(")((( | |", "UTF-8")) == 200)
+      // parameter garbage → 400, never 500
+      assert(code("/search?req=old&dist=1e9") == 400)
+      assert(code("/bm25?req=old&k=-") == 400)
     } finally server.stop(0)
   }
 
