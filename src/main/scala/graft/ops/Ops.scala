@@ -376,7 +376,10 @@ object Ops {
   val simhash = Op("dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      spread(docs(s, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
+      // NOT spread: simhash is ONE md5 per token (vs minhash's 8 per
+      // shingle) — measured A/B, the round-robin text shuffle cost more
+      // than the kernel saved (0.27 → 0.51 s noop at sf0.1)
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val m = java.util.regex.Pattern.compile(TOKEN_RE).matcher("")
           val md = java.security.MessageDigest.getInstance("MD5")

@@ -56,10 +56,18 @@ object BlockCache extends ShardCache[BlockShard] {
     * so it moves into the one-time fill; the encoded meta blocks
     * themselves are not retained. */
   def build(it: Iterator[PostingBlockRow]): BlockShard = {
+    val timing = sys.env.contains("GRAFT_TIMING")
+    val t0 = if (timing) System.nanoTime() else 0L
+    var tMeta = 0L // meta-decode share of the fill (timing only)
+    var nRows = 0L
     val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[PostingBlockRow]]()
     val metaMap = scala.collection.mutable.LongMap.empty[DocMetaRow]
     var bytes = 0L
     it.foreach { b =>
+      if (timing) {
+        nRows += 1
+        if (b.term == IndexBuilder.MetaTerm) tMeta -= System.nanoTime()
+      }
       if (b.term == IndexBuilder.MetaTerm) {
         IndexBuilder.decodeMetaBlockFor(b, _ => true).foreach { md =>
           metaMap(md.docId) = md
@@ -72,6 +80,7 @@ object BlockCache extends ShardCache[BlockShard] {
           bytes += 2L * md.name.length + 2L * pidChars +
             56L * md.pageIds.length + 8L * md.pageEnds.length + 192
         }
+        if (timing) tMeta += System.nanoTime()
       } else {
         var buf = tmp.get(b.term)
         if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; tmp.put(b.term, buf) }
@@ -82,6 +91,8 @@ object BlockCache extends ShardCache[BlockShard] {
     }
     val byTerm = new java.util.HashMap[String, Array[PostingBlockRow]](tmp.size() * 2)
     tmp.forEach((t, buf) => byTerm.put(t, buf.toArray))
+    if (timing) System.err.println(
+      f"[graft-timing] bcfill total=${(System.nanoTime() - t0) / 1e9}%.3fs meta=${tMeta / 1e9}%.3fs rows=$nRows bytes=${bytes / 1024}KB")
     new BlockShard(byTerm, metaMap, bytes)
   }
 
