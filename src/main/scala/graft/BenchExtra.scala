@@ -12,10 +12,83 @@ import org.apache.spark.sql.SparkSession
   * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, GRAFT_BENCHX_REPS (default 2).
   */
 object BenchExtra {
+
+  /** raw-thread tokenize throughput (docs/s) — same workload as the
+    * frozen bench's hw probe, so `build_dps / hw_dps` is a
+    * host-normalized build number (r5 VERDICT #2: driver records swung
+    * 9.7–28.4k dps across windows on identical code; the QUOTIENT should
+    * hold ±10% while raw dps swings with host supply). */
+  private def hwTokenizeDps(threads: Int): Double = {
+    val an = graft.text.Analyzer()
+    val bodies = (0 until 64).map(i => graft.fixtures.PagesGen.bodyFor(i.toLong))
+    val per = 300
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val cache = new graft.core.DocTokenizer.CodeCache(an)
+        var i = 0
+        while (i < per) {
+          graft.core.DocTokenizer.indexGrouped(an, "", Seq(("1", bodies((t + i) % bodies.length))), cache)
+          i += 1
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    threads * per / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** `--build-ab`: interleave N (build @c[cpus], hw probe) pairs on the
+    * bench corpus and report per-window raw dps + normalized quotient. */
+  private def buildAb(cpus: Int, rounds: Int): Unit = {
+    val nDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "200000").toLong
+    val corpusPath = s"${sys.props("java.io.tmpdir")}/graft-bench-corpus-$nDocs"
+    val rows = (0 until rounds).map { r =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[$cpus]").appName(s"graft-benchx-build-$r")
+        .config("spark.sql.shuffle.partitions", math.max(cpus, 8).toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.io.compression.codec", "zstd")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        if (!new java.io.File(corpusPath + "/_SUCCESS").exists()) {
+          graft.fixtures.PagesGen.pages(spark, nDocs, parts = math.max(cpus * 2, 16))
+            .write.mode("overwrite").parquet(corpusPath)
+        }
+        val idxDir = s"${sys.props("java.io.tmpdir")}/graft-benchx-idx"
+        def rmrf(p: String): Unit = {
+          def walk(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+            f.delete()
+          }
+          walk(new java.io.File(p))
+        }
+        rmrf(idxDir)
+        val pages = spark.read.parquet(corpusPath)
+        val t0 = System.nanoTime()
+        graft.spark.IndexBuilder.build(spark, pages, idxDir,
+          graft.spark.IndexBuilder.BuildConfig(bucketBits = 9))
+        val dps = nDocs / ((System.nanoTime() - t0) / 1e9)
+        hwTokenizeDps(2) // warm
+        val hw = (0 until 2).map(_ => hwTokenizeDps(cpus)).max
+        System.err.println(f"[benchextra] build r$r dps=$dps%.0f hw_dps=$hw%.0f norm=${dps / hw}%.4f")
+        (dps, hw)
+      } finally spark.stop()
+    }
+    val json = rows.zipWithIndex.map { case ((d, h), i) =>
+      f""""r$i":{"build_dps":$d%.1f,"hw_tokenize_dps":$h%.1f,"build_dps_per_hw_dps":${d / h}%.4f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"graft benchextra build-ab","cpus":$cpus,"rounds":$json}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("GRAFT_BENCHX_REPS", "2").toInt
+    if (args.headOption.contains("--build-ab")) {
+      buildAb(cpus, args.lift(1).map(_.toInt).getOrElse(2))
+      return
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-benchextra")

@@ -301,7 +301,13 @@ object Ops {
   val minhashSig = Op("dedup_minhash_sig",
     (s, dir) => {
       import s.implicits._
-      spread(docs(s, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
+      // NOT spread (A/B'd both ways): spreading the md5 kernel means
+      // round-robin-shuffling the TEXT column — at sf scale that exchange
+      // plus its codegen unit costs about what the parallelized kernel
+      // saves, with high window variance (count 0.27–1.33 s vs 0.48–0.80
+      // unspread). The embedding-side ops keep spread(): their payload is
+      // ~1 MB of vectors against a far heavier dot-product kernel.
+      docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val m = java.util.regex.Pattern.compile(TOKEN_RE).matcher("")
           val md = java.security.MessageDigest.getInstance("MD5")
