@@ -298,8 +298,11 @@ object Ops {
     * buys anything. Values are bit-identical to the SQL formulation
     * (md5Prefix15); docs with <3 tokens have no shingles and no row, as in
     * the grouped form. */
-  val minhashSig = Op("dedup_minhash_sig",
-    (s, dir) => {
+  /** Unordered per-doc minhash signatures — the kernel shared by
+    * dedup_minhash_sig (which adds the declared ORDER BY) and
+    * dedup_minhash_pairs/clusters/jaccard (which materialize it once and
+    * must NOT pay the declared sort's range partitioning). */
+  private def minhashSigRaw(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
       // NOT spread (A/B'd both ways): spreading the md5 kernel means
       // round-robin-shuffling the TEXT column — at sf scale that exchange
@@ -334,8 +337,10 @@ object Ops {
             }
           }
         }.toDF("doc_id", "mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7")
-        .orderBy("doc_id")
-    },
+  }
+
+  val minhashSig = Op("dedup_minhash_sig",
+    (s, dir) => minhashSigRaw(s, dir).orderBy("doc_id"),
     Some {
       val cols = (0 until 8).map(seed =>
         s"min(('0x' || substr(md5('s$seed|' || sh), 1, 15))::BIGINT) AS mh$seed").mkString(",\n    ")
@@ -348,7 +353,15 @@ object Ops {
   /** LSH band join: 4 bands × 2 rows; candidate pairs sharing any band. */
   val minhashPairs = Op("dedup_minhash_pairs",
     (s, dir) => {
-      val sig = minhashSig.query(s, dir)
+      // materialize the signatures ONCE: the minhash kernel is an opaque
+      // mapPartitions (no Exchange for ReuseExchange to dedup), and sig is
+      // referenced by 4 band branches × 2 self-join sides — without the
+      // eager checkpoint the 8-md5-per-shingle kernel executes 4–8x over
+      // the full corpus. The checkpointed frame is doc_id + 8 longs (≪
+      // text), so the barrier is cheap at any scale. Uses the UNORDERED
+      // sig — the declared op's ORDER BY would otherwise add a range sort
+      // to the materialization (the band join doesn't need it).
+      val sig = minhashSigRaw(s, dir).localCheckpoint(true)
       val bands = (0 until 4).map(b =>
         sig.select(col("doc_id"), lit(b).as("band"),
           md5(concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bh")))
@@ -502,31 +515,44 @@ object Ops {
   val dedupClusters = Op("dedup_clusters",
     (s, dir) => {
       val verts = docs(s, dir).select(col("doc_id"))
+      // materialize the LSH candidate pairs ONCE before the symmetric
+      // union: `pairs` is referenced twice below, and each reference would
+      // otherwise embed — and re-run — the corpus-wide minhash band-join
+      // pipeline (measured: round 1 paid the kernel 2x through the old
+      // edges.cache() fill). After the eager checkpoint the union doubles
+      // ~candidate-count rows, so edges needs no cache of its own.
       val pairs = minhashPairs.query(s, dir).select(col("a"), col("b"))
+        .localCheckpoint(true)
       val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-      edges.cache()
       // edges are symmetric, so src alone covers every endpoint
       val endpoints = edges.select(col("src").as("doc_id")).distinct()
       var labels = endpoints.select(col("doc_id"), col("doc_id").as("cluster"))
-      var cachedPrev: DataFrame = null
+      val timing = sys.env.contains("GRAFT_TIMING")
       var changed = true
       var iter = 0
       while (changed && iter < 32) {
+        val tr = if (timing) System.nanoTime() else 0L
         val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
           .groupBy(col("dst").as("doc_id")).agg(min("cluster").as("nc"))
         // carry the changed flag on each row: convergence is then one
-        // filter+limit over the (cached) next frame, not an extra
+        // filter+limit over the materialized next frame, not an extra
         // next⋈labels join job per round
         val step = labels.join(prop, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"),
             (coalesce(col("nc"), col("cluster")) < col("cluster")).as("chg"))
-        step.cache()
+          // eager localCheckpoint, NOT cache(): cache() only short-circuits
+          // compute — the logical plan still grows by one join round per
+          // iteration, and the analyzer/optimizer re-walk the whole history
+          // each round (planning cost compounds; guide §3.3 "materialise an
+          // intermediate to truncate the plan"). The checkpoint flattens
+          // round k's lineage to a LogicalRDD so round k+1 plans O(1) work.
+          .localCheckpoint(true)
         changed = step.filter(col("chg")).limit(1).count() > 0
-        if (cachedPrev != null) cachedPrev.unpersist()
-        cachedPrev = step
         labels = step.select(col("doc_id"), col("cluster"))
         iter += 1
+        if (timing) System.err.println(
+          f"[graft-timing] dedup_clusters round $iter ${(System.nanoTime() - tr) / 1e9}%.3fs changed=$changed")
       }
       // a dup chain with diameter > the cap would silently yield split
       // clusters; fail loudly rather than return non-converged labels
@@ -534,13 +560,11 @@ object Ops {
         throw new IllegalStateException(
           s"dedup_clusters: min-label propagation did not converge in $iter rounds " +
             "(duplicate-chain diameter exceeds the iteration cap)")
-      // release the loop's caches: pin the final labels via an eager
-      // localCheckpoint (lineage truncated — no recompute on consumption),
-      // then drop the edge frame and the last iteration's cached step so
-      // repeated invocations in one session don't accumulate storage blocks
-      labels = labels.localCheckpoint(true)
-      edges.unpersist()
-      if (cachedPrev != null) cachedPrev.unpersist()
+      // labels is already backed by the last round's eager checkpoint (a
+      // projection over its LogicalRDD — no recompute on consumption);
+      // per-round checkpoint RDDs are tiny — endpoint-bounded — and are
+      // reclaimed by the ContextCleaner when their round's frame goes out
+      // of scope
       verts.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster"), col("doc_id")).as("cluster"))

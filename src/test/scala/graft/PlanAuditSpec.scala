@@ -86,4 +86,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(read.contains("ts") && read.contains("event_type") && read.contains("value"), read)
     assert(!read.contains("user_id") && !read.contains("event_id"), s"over-wide scan: $read")
   }
+
+  test("dedup_minhash_pairs: signature kernel materialized once, band join over ExistingRDD") {
+    // r6 optimization: sig is eagerly checkpointed before the 4-band ×
+    // 2-side fan-out — the band join's plan must reference the
+    // materialized RDD, not re-embed the opaque md5 kernel (which would
+    // execute it 4-8x over the corpus at scale)
+    val df = SparkEntry.queries("dedup_minhash_pairs")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"band join should scan the checkpointed sig: ${p.take(800)}")
+    assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+      s"minhash kernel re-embedded in the band-join plan: ${p.take(800)}")
+  }
+
+  test("dedup_clusters: labels equal brute-force union-find over the candidate pairs") {
+    // r6 optimization pinned: per-round eager checkpoints + single pairs
+    // materialization must not change the fixpoint. Reference model:
+    // textbook union-find over the same LSH candidate pairs, rep = min id.
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (doc, cluster, isRep) =>
+      val expected = find(doc)
+      assert(cluster == expected, s"doc $doc: cluster $cluster != union-find $expected")
+      assert(isRep == (doc == cluster), s"doc $doc: is_rep flag wrong")
+    }
+    // ordered by doc_id, every doc exactly once
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    assert(got.map(_._1).distinct.length == got.length)
+  }
 }
