@@ -623,7 +623,14 @@ object Ops {
     val e = e0.select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val cos = q.join(e, col("vec_id") =!= col("qid"))
+    // stream the CORPUS side and broadcast the Q query rows (§3.1
+    // "broadcast the side that fits"): written q.join(e, ...), Spark built
+    // the NLJ with the WHOLE embeddings table as the broadcast side
+    // (IdentityBroadcastMode over N rows — an OOM at real corpus sizes and
+    // a pointless multi-MB broadcast locally) while the 5-row side
+    // streamed on one split. Inner-join rows are identical either way;
+    // the cosine kernel now parallelizes over the corpus scan's splits.
+    val cos = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cos5)
     rankTopK(cos, k)
   }
